@@ -1,0 +1,104 @@
+"""Run configuration — the TPU-native equivalent of the reference's `Env`.
+
+The reference (src/env.{hh,cc}, per SURVEY.md §2) holds every CLI option as a
+field on an `Env` struct and derives an output directory named
+``n{N}-k{K}-l{L}-{label}``. We keep that run-dir convention for tooling
+parity but replace the hand-rolled argv parsing with a frozen dataclass that
+is hashable (so it can be a static argument to ``jax.jit``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SVIConfig:
+    """Hyperparameters and run options for SVI on the PSD model.
+
+    Defaults follow the reference semantics reconstructed in SURVEY.md §1.2:
+    symmetric Dirichlet prior ``alpha = 1/K``, uniform Beta(1,1) prior on
+    allele frequencies, Robbins–Monro step size ``rho_t = (tau0 + t)^-kappa``.
+    """
+
+    n: int = 0                  # individuals
+    l: int = 0                  # SNPs (loci)
+    k: int = 3                  # ancestral populations
+
+    # Priors.
+    alpha: Optional[float] = None   # None -> 1/K (reference default [MED])
+    beta_a: float = 1.0             # Beta prior on allele freqs
+    beta_b: float = 1.0
+
+    # Robbins–Monro step-size schedule.
+    tau0: float = 1.0
+    kappa: float = 0.5
+
+    # Minibatch of SNPs per iteration. The reference subsamples loci
+    # (SURVEY.md §1.2); we batch many per step to feed the MXU.
+    batch_size: int = 64
+
+    # Local coordinate-ascent (phi <-> lambda) iterations per minibatch.
+    local_iters: int = 16
+    local_tol: float = 1e-4     # mean |delta lambda| early-exit threshold
+
+    # Heldout/validation entry fractions (SURVEY.md §1.2 step 5).
+    validation_frac: float = 0.005
+    heldout_frac: float = 0.005
+
+    # Convergence assessment.
+    rfreq: int = 100            # validation log-lik every rfreq iterations
+    max_steps: int = 10_000
+    conv_tol: float = 1e-5      # relative validation-ll improvement floor
+    conv_patience: int = 3      # consecutive non-improving checks to stop
+
+    # Numerics: dtype for the hot matmuls. f32 matches reference doubles
+    # closely; bf16 runs the MXU at full rate with stochastic robustness.
+    compute_dtype: str = "float32"
+
+    # Init scale for gamma (reference inits gamma from a gsl rng [MED]).
+    gamma_init_scale: float = 0.1
+
+    seed: int = 0
+    label: str = "run"
+
+    # Sharding (parallel/mesh.py): mesh axis sizes; 0 = auto.
+    ind_shards: int = 0
+    snp_shards: int = 0
+
+    def __post_init__(self):
+        if self.k <= 0:
+            raise ValueError(f"k must be positive, got {self.k}")
+        if self.batch_size <= 0:
+            raise ValueError("batch_size must be positive")
+
+    @property
+    def alpha_value(self) -> float:
+        return (1.0 / self.k) if self.alpha is None else self.alpha
+
+    def rho(self, t):
+        """Robbins–Monro step size at iteration t (works on traced values)."""
+        return (self.tau0 + t) ** (-self.kappa)
+
+    # ---- run-dir convention (reference: Env creates n{N}-k{K}-l{L}-{label}/)
+    def run_dir_name(self) -> str:
+        return f"n{self.n}-k{self.k}-l{self.l}-{self.label}"
+
+    def make_run_dir(self, base: str = ".") -> str:
+        path = os.path.join(base, self.run_dir_name())
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    # ---- (de)serialization for checkpoints / CLI round-trips
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "SVIConfig":
+        return cls(**json.loads(s))
+
+    def replace(self, **kw) -> "SVIConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,77 @@
+"""PSD-model genotype simulator.
+
+Reference parity: `scripts/` in the upstream repo simulate from the PSD
+model in R (SURVEY.md §3.4) — draw theta ~ Dir(alpha), beta ~ Beta(a,b),
+x ~ Binomial(2, theta^T beta) — to validate recovery of theta. We provide
+the same generative draw in numpy (host-side; datasets are built once then
+packed to device) plus an option for "structured" theta that concentrates
+individuals on populations, which makes recovery tests sharp.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from terastructure_tpu.data.pack import pack2bit
+from terastructure_tpu.models.psd import MISSING
+
+
+def simulate_psd(
+    n: int,
+    l: int,
+    k: int,
+    *,
+    alpha: Optional[float] = None,
+    beta_a: float = 1.0,
+    beta_b: float = 1.0,
+    missing_frac: float = 0.0,
+    structured: bool = True,
+    seed: int = 0,
+):
+    """Draw (theta, beta, x) from the PSD model.
+
+    Returns:
+      theta: (n, k) float64 rows on the simplex
+      beta:  (l, k) float64 in (0,1)   — note (L, K) layout, SNP-major
+      x:     (n, l) int8 in {0,1,2} with MISSING=3 where masked
+    """
+    rng = np.random.default_rng(seed)
+    if structured:
+        # Concentrated Dirichlet per individual around a random dominant
+        # population — mimics real admixture structure and makes theta
+        # identifiable at small L (used by recovery tests).
+        dominant = rng.integers(0, k, size=n)
+        conc = np.full((n, k), 0.2)
+        conc[np.arange(n), dominant] = 5.0
+        theta = rng.dirichlet(np.ones(k), size=n) * 0  # placeholder shape
+        for i in range(0, n, 4096):  # chunked to bound gamma-draw memory
+            sl = slice(i, min(i + 4096, n))
+            g = rng.gamma(conc[sl], 1.0)
+            theta[sl] = g / g.sum(axis=1, keepdims=True)
+    else:
+        a = (1.0 / k) if alpha is None else alpha
+        g = rng.gamma(a, 1.0, size=(n, k))
+        theta = g / np.maximum(g.sum(axis=1, keepdims=True), 1e-300)
+
+    beta = rng.beta(beta_a, beta_b, size=(l, k))
+    # Keep allele frequencies away from the exact boundary for stable logs.
+    beta = np.clip(beta, 1e-4, 1.0 - 1e-4)
+
+    p = np.clip(theta @ beta.T, 0.0, 1.0)        # (n, l)
+    x = rng.binomial(2, p).astype(np.int8)
+
+    if missing_frac > 0:
+        mask = rng.random((n, l)) < missing_frac
+        x[mask] = MISSING
+    return theta, beta, x
+
+
+def simulate_packed(n, l, k, **kw):
+    """Simulate and return (theta, beta, packed) with packed SNP-major.
+
+    packed: uint8 (l, ceil(n/4)) — the layout the engine consumes.
+    """
+    theta, beta, x = simulate_psd(n, l, k, **kw)
+    return theta, beta, pack2bit(np.ascontiguousarray(x.T))

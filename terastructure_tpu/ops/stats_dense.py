@@ -1,0 +1,139 @@
+"""Dense (jnp) sufficient-statistic kernels for PSD SVI — the MXU path.
+
+This is the TPU-first re-derivation of the reference hot loop
+(`SNPSamplingE::update_phi{mom,dad}` / `update_lambda` / `update_gamma`,
+src/snpsamplinge.cc per SURVEY.md §3.1). The reference loops over
+individuals per SNP with pthreads; here the whole phi/lambda/gamma update
+collapses into a few matmuls, because phi for a given (i, j) depends only
+on the genotype value and on exp-expected-log factors:
+
+  u_ik  = exp E[log theta_ik]            (N, K)
+  t1_jk = exp E[log beta_kj]             (B, K)   t0 likewise for 1-beta
+  phi1_ijk = u_ik t1_jk / D1_ij,   D1 = T1 @ U^T  (B, N)   <- MXU
+  phi0_ijk = u_ik t0_jk / D0_ij,   D0 = T0 @ U^T
+
+With allele-count matrices A1 = mask*x, A0 = mask*(2-x) (B, N) and
+R1 = A1/D1, R0 = A0/D0:
+
+  lambda-stats:  L0_jk = t1_jk * (R1 @ U)_jk,  L1_jk = t0_jk * (R0 @ U)_jk
+  gamma-stats:   S_ik  = u_ik * (R1^T @ T1 + R0^T @ T0)_ik
+
+i.e. 6 matmuls of shape (B,N)x(N,K) per local iteration — all MXU work.
+A fused Pallas kernel (ops/stats_pallas.py) additionally unpacks the 2-bit
+genotypes in-kernel and never materializes the (B, N) intermediates in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from terastructure_tpu.models.psd import MISSING, elog_beta, elog_dirichlet
+
+
+class BatchStats(NamedTuple):
+    gamma_stat: jnp.ndarray   # (N, K) sum of phi over batch SNPs & copies
+    lam0_stat: jnp.ndarray    # (B, K) allele-1 counts
+    lam1_stat: jnp.ndarray    # (B, K) allele-0 counts
+
+
+def exp_elog_theta(gamma):
+    """u = exp E[log theta] (N, K)."""
+    return jnp.exp(elog_dirichlet(gamma))
+
+
+def exp_elog_beta(lamb_b):
+    """(t1, t0) = exp E[log beta], exp E[log(1-beta)], each (B, K)."""
+    e1, e0 = elog_beta(lamb_b)
+    return jnp.exp(e1), jnp.exp(e0)
+
+
+def allele_counts(xb, dtype):
+    """Split genotypes (B, N) int8 into masked allele-count matrices.
+
+    Returns A1 = #allele-1 copies, A0 = #allele-0 copies, zero where missing.
+    """
+    mask = xb != MISSING
+    xf = xb.astype(dtype)
+    a1 = jnp.where(mask, xf, 0.0).astype(dtype)
+    a0 = jnp.where(mask, 2.0 - xf, 0.0).astype(dtype)
+    return a1, a0
+
+
+def _ratios(a1, a0, u, t1, t0, dtype):
+    """R1, R0 (B, N): allele counts over mixture denominators."""
+    ud = u.astype(dtype)
+    d1 = jnp.dot(t1.astype(dtype), ud.T, preferred_element_type=jnp.float32)
+    d0 = jnp.dot(t0.astype(dtype), ud.T, preferred_element_type=jnp.float32)
+    eps = jnp.float32(1e-30)
+    r1 = (a1.astype(jnp.float32) / (d1 + eps)).astype(dtype)
+    r0 = (a0.astype(jnp.float32) / (d0 + eps)).astype(dtype)
+    return r1, r0
+
+
+def _identity(x):
+    return x
+
+
+def lambda_stats(a1, a0, u, t1, t0, dtype=jnp.float32, ind_reduce=_identity):
+    """One coordinate-ascent lambda statistic: (L0, L1) each (B, K).
+
+    `ind_reduce` is applied to the (B, K) individual-summed matmul results;
+    under sharding it is a psum over the 'ind' mesh axis (the reference's
+    pthread partial-sum join, but as an ICI/DCN collective).
+    """
+    r1, r0 = _ratios(a1, a0, u, t1, t0, dtype)
+    ud = u.astype(dtype)
+    l0 = t1 * ind_reduce(jnp.dot(r1, ud, preferred_element_type=jnp.float32))
+    l1 = t0 * ind_reduce(jnp.dot(r0, ud, preferred_element_type=jnp.float32))
+    return l0, l1
+
+
+def batch_stats(a1, a0, u, t1, t0, dtype=jnp.float32,
+                ind_reduce=_identity) -> BatchStats:
+    """All sufficient stats for a converged local solution.
+
+    Note gamma_stat is the *local-SNP partial*: under sharding the caller
+    psums it over the 'snp' axis (each shard's minibatch covers only its
+    own SNPs)."""
+    r1, r0 = _ratios(a1, a0, u, t1, t0, dtype)
+    ud = u.astype(dtype)
+    l0 = t1 * ind_reduce(jnp.dot(r1, ud, preferred_element_type=jnp.float32))
+    l1 = t0 * ind_reduce(jnp.dot(r0, ud, preferred_element_type=jnp.float32))
+    s = u * (
+        jnp.dot(r1.T, t1.astype(dtype), preferred_element_type=jnp.float32)
+        + jnp.dot(r0.T, t0.astype(dtype), preferred_element_type=jnp.float32)
+    )
+    return BatchStats(gamma_stat=s, lam0_stat=l0, lam1_stat=l1)
+
+
+def local_solve(a1, a0, u, lamb_b, *, beta_a, beta_b, local_iters,
+                local_tol, dtype=jnp.float32, ind_reduce=_identity):
+    """Local coordinate ascent phi <-> lambda for the minibatch SNPs.
+
+    Mirrors the reference inner loop "until local convergence"
+    (SURVEY.md §3.1) as a bounded lax.while_loop: fixed max iterations with
+    an early exit on mean relative lambda change < local_tol. Carry is only
+    (lamb_b, it, delta) — the (B, N) ratio matrices are recomputed, never
+    carried, so the loop state stays O(B*K).
+
+    Returns the converged lamb_b (B, K, 2).
+    """
+
+    def cond(carry):
+        lam, it, delta = carry
+        return jnp.logical_and(it < local_iters, delta > local_tol)
+
+    def body(carry):
+        lam, it, _ = carry
+        t1, t0 = exp_elog_beta(lam)
+        l0, l1 = lambda_stats(a1, a0, u, t1, t0, dtype)
+        new = jnp.stack([beta_a + l0, beta_b + l1], axis=-1)
+        delta = jnp.mean(jnp.abs(new - lam)) / (jnp.mean(jnp.abs(lam)) + 1.0)
+        return new, it + 1, delta
+
+    init = (lamb_b, jnp.int32(0), jnp.float32(jnp.inf))
+    lam, _, _ = jax.lax.while_loop(cond, body, init)
+    return lam

@@ -1,0 +1,206 @@
+"""Sharded SVI step over a 2-D (ind x snp) device mesh via shard_map.
+
+Dataflow (SURVEY.md §7.4, the "inverted global/local split under sharding"):
+
+  per device (a, s) with gamma shard a and SNP/lambda shard s:
+    - sample B_local SNPs from the local padded SNP range
+      (key folds in the snp axis index ONLY, so the whole 'ind' column
+      agrees on the sample);
+    - gather + unpack the local (B_local, N_local) genotype block;
+    - local phi<->lambda coordinate ascent where each lambda statistic is
+      psum'ed over 'ind' (the sum over individuals spans hosts);
+    - gamma natural-gradient statistic psum'ed over 'snp' (each shard's
+      minibatch covers only its SNPs);
+    - scatter converged lambda into the local lambda shard; update the
+      local gamma shard. No other communication.
+
+Sampling from the padded range keeps the estimator unbiased: padding SNPs
+are all-MISSING so they contribute zero, and the L/B scale uses padded L
+(expectation over uniform-on-padded-range = sum over real SNPs).
+
+Requirements: N divisible by 4 * mesh.ind (byte-aligned individual
+shards), padded L divisible by mesh.snp — see `prepare()`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from terastructure_tpu.config import SVIConfig
+from terastructure_tpu.data.dataset import GenotypeData
+from terastructure_tpu.data.pack import packed_width
+from terastructure_tpu.models.psd import MISSING
+from terastructure_tpu.ops import stats_dense as ops
+from terastructure_tpu.parallel import mesh as meshlib
+from terastructure_tpu.parallel.mesh import IND_AXIS, SNP_AXIS
+from terastructure_tpu.svi.engine import SVIState
+
+
+class ShardPlan(NamedTuple):
+    """Static padded shapes for an even 2-D sharding."""
+    n: int            # real individuals
+    l: int            # real SNPs
+    n_padded: int     # multiple of 4 * ind_shards
+    l_padded: int     # multiple of snp_shards
+    ind: int
+    snp: int
+    batch_per_shard: int
+
+
+def make_plan(cfg: SVIConfig, mesh: Mesh) -> ShardPlan:
+    ind = mesh.shape[IND_AXIS]
+    snp = mesh.shape[SNP_AXIS]
+    if cfg.batch_size % snp:
+        raise ValueError(f"batch_size {cfg.batch_size} not divisible by snp axis {snp}")
+    quantum = 4 * ind
+    n_padded = ((cfg.n + quantum - 1) // quantum) * quantum
+    l_padded = ((cfg.l + snp - 1) // snp) * snp
+    return ShardPlan(
+        n=cfg.n, l=cfg.l, n_padded=n_padded, l_padded=l_padded,
+        ind=ind, snp=snp, batch_per_shard=cfg.batch_size // snp,
+    )
+
+
+def prepare(cfg: SVIConfig, data: GenotypeData, mesh: Mesh):
+    """Pad + device_put the packed genotypes with the 2-D sharding.
+
+    Returns (plan, packed_sharded). Padding individuals/SNPs decode as
+    MISSING (0xFF bytes) so they never contribute statistics.
+    """
+    plan = make_plan(cfg, mesh)
+    packed = data.packed
+    w_padded = packed_width(plan.n_padded)
+    lp, wp = plan.l_padded, w_padded
+    if packed.shape != (lp, wp):
+        out = np.full((lp, wp), 0xFF, dtype=np.uint8)
+        out[: packed.shape[0], : packed.shape[1]] = packed
+        packed = out
+    sh = NamedSharding(mesh, meshlib.PACKED_SPEC)
+    return plan, jax.device_put(packed, sh)
+
+
+def init_sharded_state(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh) -> SVIState:
+    """Like engine.init_state but with padded shapes and mesh shardings."""
+    key = jax.random.PRNGKey(cfg.seed)
+    k_init, k_run = jax.random.split(key)
+    gamma = (
+        cfg.alpha_value
+        + cfg.gamma_init_scale
+        * jax.random.uniform(k_init, (plan.n_padded, cfg.k), dtype=jnp.float32)
+    )
+    lamb = jnp.stack(
+        [
+            jnp.full((plan.l_padded, cfg.k), cfg.beta_a, jnp.float32),
+            jnp.full((plan.l_padded, cfg.k), cfg.beta_b, jnp.float32),
+        ],
+        axis=-1,
+    )
+    gamma = jax.device_put(gamma, NamedSharding(mesh, meshlib.GAMMA_SPEC))
+    lamb = jax.device_put(lamb, NamedSharding(mesh, meshlib.LAMB_SPEC))
+    return SVIState(gamma=gamma, lamb=lamb, t=jnp.int32(0), key=k_run)
+
+
+def _unpack_local(rows, n_local):
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    g = (rows[..., None] >> shifts) & jnp.uint8(0x3)
+    return g.reshape(rows.shape[0], n_local).astype(jnp.int8)
+
+
+def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
+    """Build the shard_map'ed step: (state, packed) -> state."""
+    b_local = plan.batch_per_shard
+    l_local = plan.l_padded // plan.snp
+    dtype = jnp.dtype(cfg.compute_dtype)
+    psum_ind = functools.partial(jax.lax.psum, axis_name=IND_AXIS)
+
+    def local_step(gamma_l, lamb_l, packed_l, t, key):
+        # gamma_l: (N/I, K)  lamb_l: (L/S, K, 2)  packed_l: (L/S, W/I)
+        s_idx = jax.lax.axis_index(SNP_AXIS)
+        kb = jax.random.fold_in(jax.random.fold_in(key, t), s_idx)
+        idx = jax.random.randint(kb, (b_local,), 0, l_local, dtype=jnp.int32)
+
+        rows = packed_l[idx]                            # (B_l, W/I)
+        xb = _unpack_local(rows, rows.shape[1] * 4)     # (B_l, N/I)
+
+        a1, a0 = ops.allele_counts(xb, jnp.float32)
+        u = ops.exp_elog_theta(gamma_l)
+
+        lamb_b = ops.local_solve(
+            a1, a0, u, lamb_l[idx],
+            beta_a=cfg.beta_a, beta_b=cfg.beta_b,
+            local_iters=cfg.local_iters, local_tol=cfg.local_tol,
+            dtype=dtype, ind_reduce=psum_ind,
+        )
+        t1, t0 = ops.exp_elog_beta(lamb_b)
+        stats = ops.batch_stats(a1, a0, u, t1, t0, dtype, ind_reduce=psum_ind)
+
+        new_lamb_b = jnp.stack(
+            [cfg.beta_a + stats.lam0_stat, cfg.beta_b + stats.lam1_stat], axis=-1
+        )
+        lamb_l = lamb_l.at[idx].set(new_lamb_b)
+
+        gamma_stat = jax.lax.psum(stats.gamma_stat, axis_name=SNP_AXIS)
+        rho = jnp.asarray(cfg.rho(t.astype(jnp.float32)), jnp.float32)
+        scale = jnp.float32(plan.l_padded) / jnp.float32(cfg.batch_size)
+        gamma_l = (1.0 - rho) * gamma_l + rho * (
+            cfg.alpha_value + scale * gamma_stat
+        )
+        return gamma_l, lamb_l
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            meshlib.GAMMA_SPEC, meshlib.LAMB_SPEC, meshlib.PACKED_SPEC,
+            P(), P(),
+        ),
+        out_specs=(meshlib.GAMMA_SPEC, meshlib.LAMB_SPEC),
+        check_vma=False,
+    )
+
+    def step(state: SVIState, packed) -> SVIState:
+        gamma, lamb = sharded(state.gamma, state.lamb, packed, state.t, state.key)
+        return SVIState(gamma=gamma, lamb=lamb, t=state.t + 1, key=state.key)
+
+    return step
+
+
+def make_sharded_run_chunk(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh, nsteps: int):
+    step = make_sharded_step(cfg, plan, mesh)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(state: SVIState, packed) -> SVIState:
+        def body(_, s):
+            return step(s, packed)
+        return jax.lax.fori_loop(0, nsteps, body, state)
+
+    return run_chunk
+
+
+def shard_state(state: SVIState, plan: ShardPlan, mesh: Mesh) -> SVIState:
+    """Pad + reshard an unsharded state onto the mesh (e.g. after resume)."""
+    gamma = np.asarray(state.gamma)
+    lamb = np.asarray(state.lamb)
+    if gamma.shape[0] != plan.n_padded:
+        pad = np.ones((plan.n_padded - gamma.shape[0], gamma.shape[1]), gamma.dtype)
+        gamma = np.concatenate([gamma, pad])
+    if lamb.shape[0] != plan.l_padded:
+        pad = np.ones((plan.l_padded - lamb.shape[0],) + lamb.shape[1:], lamb.dtype)
+        lamb = np.concatenate([lamb, pad])
+    return SVIState(
+        gamma=jax.device_put(gamma, NamedSharding(mesh, meshlib.GAMMA_SPEC)),
+        lamb=jax.device_put(lamb, NamedSharding(mesh, meshlib.LAMB_SPEC)),
+        t=state.t,
+        key=state.key,
+    )
+
+
+def shard_packed(cfg, data, mesh):
+    """Convenience: prepare() returning only the sharded packed matrix."""
+    return prepare(cfg, data, mesh)[1]

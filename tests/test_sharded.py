@@ -1,0 +1,129 @@
+"""Sharded-vs-dense equivalence on an emulated 8-device CPU mesh.
+
+SURVEY.md §4: assert sharded == single-device within tolerance. Exact
+equality is not expected because the sharded sampler draws per-shard
+minibatches (different RNG stream); instead we check:
+  (a) machinery: a sharded step runs, shapes/shardings correct, finite;
+  (b) statistics: with *identical* minibatches forced (batch = all SNPs,
+      1 snp-shard), sharded over 'ind' matches dense bitwise-ish;
+  (c) learning: the sharded engine improves validation ll.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from terastructure_tpu.config import SVIConfig
+from terastructure_tpu.data import GenotypeData, simulate_psd
+from terastructure_tpu.parallel import mesh as meshlib
+from terastructure_tpu.parallel import sharded
+from terastructure_tpu.svi import engine
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _mk(n, l, k, seed, vfrac=0.0):
+    _, _, x = simulate_psd(n, l, k, seed=seed)
+    return GenotypeData.from_dense(x, validation_frac=vfrac, heldout_frac=0, seed=seed)
+
+
+def test_sharded_step_runs_2d_mesh():
+    n, l, k = 64, 96, 3
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=16, seed=1)
+    mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=2, snp=4))
+    data = _mk(n, l, k, 1)
+    plan, packed = sharded.prepare(cfg, data, mesh)
+    state = sharded.init_sharded_state(cfg, plan, mesh)
+    step = jax.jit(sharded.make_sharded_step(cfg, plan, mesh))
+    s1 = step(state, packed)
+    assert int(s1.t) == 1
+    g = np.asarray(s1.gamma)
+    assert g.shape == (plan.n_padded, k)
+    assert np.isfinite(g).all() and (g > 0).all()
+    assert np.isfinite(np.asarray(s1.lamb)).all()
+
+
+def test_ind_sharded_stats_match_dense():
+    """Same minibatch (all SNPs, snp=1 shard) on ind=8: stats must agree
+    with the dense engine's to float tolerance."""
+    n, l, k = 64, 32, 3
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=l, seed=2, local_iters=4)
+    data = _mk(n, l, k, 2)
+
+    # Dense reference step on the full batch, fixed idx = arange(L).
+    packed_d = jnp.asarray(data.packed)
+    from terastructure_tpu.data.pack import unpack2bit_jnp
+    xb = unpack2bit_jnp(packed_d, n)                     # (L, N)
+    state0 = engine.init_state(cfg)
+    idx = jnp.arange(l, dtype=jnp.int32)
+    g_dense, lam_dense = engine.step_on_batch(
+        cfg, state0.gamma, state0.lamb, xb, idx, jnp.int32(0))
+
+    # Sharded: ind=8, snp=1 — force the same full batch by replacing the
+    # sampler-free path: batch covers every SNP since B = L = l_padded.
+    mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=8, snp=1))
+    plan, packed_s = sharded.prepare(cfg, data, mesh)
+    assert plan.l_padded == l
+    state_s = sharded.init_sharded_state(cfg, plan, mesh)
+    # Same init despite padding (n divisible by 32 here => no padding).
+    assert plan.n_padded == n
+    np.testing.assert_allclose(
+        np.asarray(state_s.gamma), np.asarray(state0.gamma), rtol=1e-6)
+
+    step = jax.jit(sharded.make_sharded_step(cfg, plan, mesh))
+    s1 = step(state_s, packed_s)
+
+    # The sharded sampler draws randomly; with B == L == l_local every
+    # draw set is a multiset of all SNPs only if we forced idx — instead
+    # compare against a dense run using the *sharded* minibatch. Recover
+    # that minibatch from the sharded RNG recipe.
+    kb = jax.random.fold_in(jax.random.fold_in(state_s.key, state_s.t), 0)
+    idx_s = jax.random.randint(kb, (plan.batch_per_shard,), 0, l, dtype=jnp.int32)
+    g_ref, lam_ref = engine.step_on_batch(
+        cfg, state0.gamma, state0.lamb, xb[idx_s], idx_s, jnp.int32(0))
+
+    np.testing.assert_allclose(np.asarray(s1.gamma), np.asarray(g_ref),
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.lamb), np.asarray(lam_ref),
+                               rtol=5e-4, atol=1e-5)
+
+
+def test_sharded_learning_improves_ll():
+    n, l, k = 64, 128, 3
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=32, seed=3)
+    data = _mk(n, l, k, 3, vfrac=0.02)
+    mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=2, snp=4))
+    plan, packed = sharded.prepare(cfg, data, mesh)
+    state = sharded.init_sharded_state(cfg, plan, mesh)
+
+    val = data.validation
+    args = (jnp.asarray(val.ind_idx), jnp.asarray(val.snp_idx), jnp.asarray(val.x))
+    ll0 = float(engine.entry_loglik(state.gamma, state.lamb, *args))
+
+    chunk = sharded.make_sharded_run_chunk(cfg, plan, mesh, 150)
+    state = chunk(state, packed)
+    ll1 = float(engine.entry_loglik(state.gamma, state.lamb, *args))
+    assert ll1 > ll0, (ll0, ll1)
+
+
+def test_padding_individuals_and_snps():
+    """Ragged N and L: padded entries must not corrupt statistics."""
+    n, l, k = 61, 93, 2          # awkward sizes
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=16, seed=4)
+    data = _mk(n, l, k, 4)
+    mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=2, snp=4))
+    plan, packed = sharded.prepare(cfg, data, mesh)
+    assert plan.n_padded % 8 == 0 and plan.l_padded % 4 == 0
+    state = sharded.init_sharded_state(cfg, plan, mesh)
+    chunk = sharded.make_sharded_run_chunk(cfg, plan, mesh, 20)
+    s = chunk(state, packed)
+    g = np.asarray(s.gamma)
+    assert np.isfinite(g).all() and (g > 0).all()
+    # Padding individuals receive no data: their gamma shrinks toward the
+    # prior alpha under the natural-gradient decay.
+    pad_g = g[n:]
+    assert pad_g.shape[0] == plan.n_padded - n
+    assert np.abs(pad_g - cfg.alpha_value).max() < 1.0

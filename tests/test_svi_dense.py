@@ -1,0 +1,117 @@
+"""Single-device SVI engine tests: step mechanics + golden-value math.
+
+The golden test pins the one-step output against an independent numpy
+re-derivation of the phi/lambda/gamma updates (SURVEY.md §4: golden-value
+tests on tiny fixed-seed problems).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.special as sps
+
+from terastructure_tpu.config import SVIConfig
+from terastructure_tpu.data import GenotypeData, simulate_psd
+from terastructure_tpu.models.psd import MISSING
+from terastructure_tpu.ops import stats_dense as ops
+from terastructure_tpu.svi import engine
+
+
+def _numpy_stats(xb, gamma, lamb_b):
+    """Reference numpy implementation of one phi pass + stats, entrywise."""
+    B, N = xb.shape
+    K = gamma.shape[1]
+    elt = sps.digamma(gamma) - sps.digamma(gamma.sum(1, keepdims=True))
+    u = np.exp(elt)                                  # (N, K)
+    tot = sps.digamma(lamb_b.sum(-1))
+    t1 = np.exp(sps.digamma(lamb_b[..., 0]) - tot)   # (B, K)
+    t0 = np.exp(sps.digamma(lamb_b[..., 1]) - tot)
+    s = np.zeros((N, K))
+    l0 = np.zeros((B, K))
+    l1 = np.zeros((B, K))
+    for b in range(B):
+        for i in range(N):
+            x = xb[b, i]
+            if x == MISSING:
+                continue
+            phi1 = u[i] * t1[b]
+            phi1 /= phi1.sum()
+            phi0 = u[i] * t0[b]
+            phi0 /= phi0.sum()
+            s[i] += x * phi1 + (2 - x) * phi0
+            l0[b] += x * phi1
+            l1[b] += (2 - x) * phi0
+    return s, l0, l1
+
+
+def test_batch_stats_match_entrywise_numpy(rng):
+    B, N, K = 3, 7, 4
+    xb = rng.integers(0, 3, size=(B, N)).astype(np.int8)
+    xb[0, 2] = MISSING
+    gamma = rng.uniform(0.3, 3.0, size=(N, K))
+    lamb_b = rng.uniform(0.5, 4.0, size=(B, K, 2))
+
+    a1, a0 = ops.allele_counts(jnp.asarray(xb), jnp.float32)
+    u = ops.exp_elog_theta(jnp.asarray(gamma, jnp.float32))
+    t1, t0 = ops.exp_elog_beta(jnp.asarray(lamb_b, jnp.float32))
+    got = ops.batch_stats(a1, a0, u, t1, t0)
+
+    s, l0, l1 = _numpy_stats(xb, gamma, lamb_b)
+    np.testing.assert_allclose(np.asarray(got.gamma_stat), s, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.lam0_stat), l0, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.lam1_stat), l1, rtol=1e-4, atol=1e-5)
+
+
+def test_step_runs_and_updates(rng):
+    n, l, k = 32, 64, 3
+    _, _, x = simulate_psd(n, l, k, seed=5)
+    data = GenotypeData.from_dense(x, validation_frac=0.01, heldout_frac=0, seed=5)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=8, seed=5)
+    state = engine.init_state(cfg)
+    step = jax.jit(engine.make_step(cfg))
+    packed = jnp.asarray(data.packed)
+    s1 = step(state, packed)
+    assert int(s1.t) == 1
+    assert not np.allclose(np.asarray(s1.gamma), np.asarray(state.gamma))
+    assert np.isfinite(np.asarray(s1.gamma)).all()
+    assert np.isfinite(np.asarray(s1.lamb)).all()
+    # gamma stays positive (Dirichlet params).
+    assert (np.asarray(s1.gamma) > 0).all()
+
+
+def test_run_chunk_matches_stepwise(rng):
+    n, l, k = 16, 32, 2
+    _, _, x = simulate_psd(n, l, k, seed=6)
+    data = GenotypeData.from_dense(x, validation_frac=0, heldout_frac=0, seed=6)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=4, seed=6)
+    packed = jnp.asarray(data.packed)
+
+    step = jax.jit(engine.make_step(cfg))
+    s_loop = engine.init_state(cfg)
+    for _ in range(5):
+        s_loop = step(s_loop, packed)
+
+    chunk = engine.make_run_chunk(cfg, 5)
+    s_chunk = chunk(engine.init_state(cfg), packed)
+
+    np.testing.assert_allclose(
+        np.asarray(s_loop.gamma), np.asarray(s_chunk.gamma), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_loop.lamb), np.asarray(s_chunk.lamb), rtol=1e-5, atol=1e-6)
+
+
+def test_validation_ll_improves(rng):
+    n, l, k = 64, 128, 3
+    _, _, x = simulate_psd(n, l, k, seed=7)
+    data = GenotypeData.from_dense(x, validation_frac=0.02, heldout_frac=0, seed=7)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=16, seed=7)
+    packed = jnp.asarray(data.packed)
+    state = engine.init_state(cfg)
+    val = data.validation
+    args = (jnp.asarray(val.ind_idx), jnp.asarray(val.snp_idx), jnp.asarray(val.x))
+
+    ll0 = float(engine.entry_loglik(state.gamma, state.lamb, *args))
+    chunk = engine.make_run_chunk(cfg, 200)
+    state = chunk(state, packed)
+    ll1 = float(engine.entry_loglik(state.gamma, state.lamb, *args))
+    assert ll1 > ll0, (ll0, ll1)
