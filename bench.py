@@ -1,0 +1,171 @@
+"""Headline benchmark: SNP-updates/s/chip on the TGP-shape config.
+
+Prints ONE JSON line:
+  {"metric": "snp_updates_per_s_per_chip", "value": N, "unit": "SNP-updates/s",
+   "vs_baseline": R}
+
+Config: BASELINE.json #3 shape — N=2,504 individuals x L=1,000,000 SNPs,
+K=8 (synthetic PSD draw; TGP itself is not available in-environment), SVI
+minibatch 1024 SNPs/step. One "SNP-update" = one sampled SNP's full local
+phi/lambda solve plus its share of the global gamma update (the unit the
+reference loop processes per inner iteration, SURVEY.md §3.1).
+
+vs_baseline: BASELINE.json has "published": {} (no machine-readable
+reference numbers), so the baseline is the same algorithm executed by a
+numpy/BLAS CPU implementation (same math, same early-exit local solve,
+same shapes) measured in this run on this host — a reproducible stand-in
+for the reference's multicore CPU C++ binary.
+
+Env knobs: BENCH_L (default 1_000_000), BENCH_STEPS (default 100),
+BENCH_DTYPE (float32|bfloat16, default float32).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def numpy_step_factory(cfg, packed, n):
+    """Same-algorithm CPU baseline (numpy + scipy digamma + BLAS matmuls)."""
+    import scipy.special as sps
+
+    from terastructure_tpu.data.pack import unpack2bit
+    from terastructure_tpu.models.psd import MISSING
+
+    rng = np.random.default_rng(0)
+    b = cfg.batch_size
+
+    def step(gamma, lamb, t):
+        idx = rng.integers(0, lamb.shape[0], size=b)
+        xb = unpack2bit(packed[idx], n)                    # (B, N)
+        mask = xb != MISSING
+        a1 = np.where(mask, xb, 0).astype(np.float32)
+        a0 = np.where(mask, 2 - xb, 0).astype(np.float32)
+        u = np.exp(sps.digamma(gamma) - sps.digamma(gamma.sum(1, keepdims=True)))
+        lam = lamb[idx]
+        delta, it = np.inf, 0
+        while it < cfg.local_iters and delta > cfg.local_tol:
+            tot = sps.digamma(lam.sum(-1))
+            t1 = np.exp(sps.digamma(lam[..., 0]) - tot)
+            t0 = np.exp(sps.digamma(lam[..., 1]) - tot)
+            d1 = t1 @ u.T + 1e-30
+            d0 = t0 @ u.T + 1e-30
+            l0 = t1 * ((a1 / d1) @ u)
+            l1 = t0 * ((a0 / d0) @ u)
+            new = np.stack([cfg.beta_a + l0, cfg.beta_b + l1], -1)
+            delta = np.abs(new - lam).mean() / (np.abs(lam).mean() + 1.0)
+            lam = new
+            it += 1
+        tot = sps.digamma(lam.sum(-1))
+        t1 = np.exp(sps.digamma(lam[..., 0]) - tot)
+        t0 = np.exp(sps.digamma(lam[..., 1]) - tot)
+        r1 = a1 / (t1 @ u.T + 1e-30)
+        r0 = a0 / (t0 @ u.T + 1e-30)
+        s = u * (r1.T @ t1 + r0.T @ t0)
+        lamb[idx] = lam
+        rho = (cfg.tau0 + t) ** (-cfg.kappa)
+        gamma = (1 - rho) * gamma + rho * (
+            cfg.alpha_value + (lamb.shape[0] / b) * s
+        )
+        return gamma, lamb
+
+    return step
+
+
+def main():
+    n, k = 2504, 8
+    l = int(os.environ.get("BENCH_L", 1_000_000))
+    # NOTE: XLA compile time of the step-chunk grows steeply with chunk
+    # length at L=1M (~165 s for 50 steps on v5e); 50 keeps the whole
+    # bench inside the driver budget while amortizing per-chunk overhead.
+    steps = int(os.environ.get("BENCH_STEPS", 50))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+
+    from terastructure_tpu.config import SVIConfig
+    from terastructure_tpu.data.simulate import simulate_psd
+    from terastructure_tpu.data.pack import pack2bit
+
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=1024, seed=0,
+                    compute_dtype=dtype)
+
+    log(f"simulating {n}x{l} K={k} genotypes ...")
+    t0 = time.time()
+    # Simulate in SNP chunks to bound host memory (x is n*l bytes).
+    rng = np.random.default_rng(0)
+    g = rng.gamma(2.0, 1.0, size=(n, k))
+    theta = (g / g.sum(1, keepdims=True)).astype(np.float32)
+    packed = np.empty((l, (n + 3) // 4), dtype=np.uint8)
+    chunk = 65536
+    for j0 in range(0, l, chunk):
+        j1 = min(j0 + chunk, l)
+        beta = rng.beta(1.0, 1.0, size=(j1 - j0, k)).astype(np.float32)
+        p = np.clip(theta @ beta.T, 0, 1)                  # (n, chunk)
+        # Binomial(2, p) as a sum of two uniform-threshold draws — much
+        # faster than np.random.binomial at this scale.
+        x = (
+            (rng.random(p.shape, dtype=np.float32) < p).astype(np.int8)
+            + (rng.random(p.shape, dtype=np.float32) < p).astype(np.int8)
+        ).T                                                # (chunk, n)
+        packed[j0:j1] = pack2bit(x)
+    log(f"simulated in {time.time()-t0:.1f}s")
+
+    # ---- TPU path -------------------------------------------------------
+    import jax
+    import jax.numpy as jnp
+    from terastructure_tpu.svi import engine
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    state = engine.init_state(cfg)
+    packed_dev = jax.device_put(packed)
+    run_chunk = engine.make_run_chunk(cfg, steps)
+
+    t0 = time.time()
+    # Two warm calls: the first compiles; the second re-specializes for
+    # donated input buffers (observed on the axon backend). A host
+    # transfer, not just block_until_ready, is the reliable sync here.
+    state = run_chunk(state, packed_dev)
+    float(state.gamma[0, 0])
+    state = run_chunk(state, packed_dev)
+    float(state.gamma[0, 0])
+    log(f"compile+warmup {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    state = run_chunk(state, packed_dev)
+    float(state.gamma[0, 0])
+    dt = time.time() - t0
+    tpu_rate = cfg.batch_size * steps / dt
+    log(f"TPU: {steps} steps in {dt:.2f}s -> {tpu_rate:,.0f} SNP-updates/s")
+
+    # ---- CPU numpy baseline (same algorithm) ---------------------------
+    base_steps = int(os.environ.get("BENCH_BASE_STEPS", 5))
+    gamma_np = np.asarray(engine.init_state(cfg).gamma, dtype=np.float32)
+    lamb_np = np.ones((l, k, 2), dtype=np.float32)
+    np_step = numpy_step_factory(cfg, packed, n)
+    gamma_np, lamb_np = np_step(gamma_np, lamb_np, 0)      # warmup
+    t0 = time.time()
+    for t in range(1, base_steps + 1):
+        gamma_np, lamb_np = np_step(gamma_np, lamb_np, t)
+    base_dt = time.time() - t0
+    base_rate = cfg.batch_size * base_steps / base_dt
+    log(f"CPU baseline: {base_steps} steps in {base_dt:.2f}s -> "
+        f"{base_rate:,.0f} SNP-updates/s")
+
+    print(json.dumps({
+        "metric": "snp_updates_per_s_per_chip",
+        "value": round(tpu_rate, 1),
+        "unit": "SNP-updates/s",
+        "vs_baseline": round(tpu_rate / base_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,7 +129,7 @@ def local_solve(a1, a0, u, lamb_b, *, beta_a, beta_b, local_iters,
     def body(carry):
         lam, it, _ = carry
         t1, t0 = exp_elog_beta(lam)
-        l0, l1 = lambda_stats(a1, a0, u, t1, t0, dtype)
+        l0, l1 = lambda_stats(a1, a0, u, t1, t0, dtype, ind_reduce=ind_reduce)
         new = jnp.stack([beta_a + l0, beta_b + l1], axis=-1)
         delta = jnp.mean(jnp.abs(new - lam)) / (jnp.mean(jnp.abs(lam)) + 1.0)
         return new, it + 1, delta
