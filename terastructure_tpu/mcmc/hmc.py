@@ -1,0 +1,234 @@
+"""Hamiltonian Monte Carlo with warmup adaptation — vmapped chains.
+
+TPU-native design: chains are a vmapped leading axis (shard over devices
+via NamedSharding on the chain axis for the validator configs,
+BASELINE.json:4 "chains/particles sharded per-device"). The integrator is
+a lax.scan of leapfrog steps — static shapes, no host sync inside a
+sample. Warmup adapts a per-parameter diagonal mass matrix (Welford) and
+the step size (dual averaging, Nesterov/Hoffman-Gelman constants).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def tree_randn_like(key, tree):
+    leaves, treedef = jax.tree.flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    return jax.tree.unflatten(
+        treedef,
+        [jax.random.normal(k, x.shape, x.dtype) for k, x in zip(keys, leaves)],
+    )
+
+
+def tree_dot(a, b):
+    return sum(
+        jnp.sum(x * y) for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+class DualAveragingState(NamedTuple):
+    log_eps: jnp.ndarray
+    log_eps_avg: jnp.ndarray
+    h_avg: jnp.ndarray
+    mu: jnp.ndarray
+    count: jnp.ndarray
+
+
+def da_init(eps0):
+    return DualAveragingState(
+        log_eps=jnp.log(eps0),
+        log_eps_avg=jnp.log(eps0),
+        h_avg=jnp.zeros(()),
+        mu=jnp.log(10.0 * eps0),
+        count=jnp.zeros(()),
+    )
+
+
+def da_update(state: DualAveragingState, accept_prob, target=0.8,
+              gamma=0.05, t0=10.0, kappa=0.75):
+    count = state.count + 1.0
+    h_avg = (1.0 - 1.0 / (count + t0)) * state.h_avg + (
+        target - accept_prob
+    ) / (count + t0)
+    log_eps = state.mu - jnp.sqrt(count) / gamma * h_avg
+    w = count ** (-kappa)
+    log_eps_avg = w * log_eps + (1.0 - w) * state.log_eps_avg
+    return DualAveragingState(log_eps, log_eps_avg, h_avg, state.mu, count)
+
+
+def leapfrog(grad_fn, params, momentum, eps, inv_mass, n_steps):
+    """n_steps of leapfrog; inv_mass is a pytree of per-param variances."""
+
+    def half_kick(m, g):
+        return jax.tree.map(lambda mi, gi: mi + 0.5 * eps * gi, m, g)
+
+    def drift(p, m):
+        return jax.tree.map(
+            lambda pi, mi, vi: pi + eps * vi * mi, p, m, inv_mass
+        )
+
+    def body(carry, _):
+        p, m = carry
+        m = half_kick(m, grad_fn(p))
+        p = drift(p, m)
+        m = half_kick(m, grad_fn(p))
+        return (p, m), None
+
+    (params, momentum), _ = jax.lax.scan(
+        body, (params, momentum), None, length=n_steps
+    )
+    return params, momentum
+
+
+def kinetic(momentum, inv_mass):
+    return 0.5 * sum(
+        jnp.sum(v * m * m)
+        for m, v in zip(jax.tree.leaves(momentum), jax.tree.leaves(inv_mass))
+    )
+
+
+def hmc_kernel(log_prob: Callable, n_leapfrog: int):
+    """One HMC proposal+MH step. Returns (params, log_p, accept_prob, key)."""
+    grad_fn = jax.grad(log_prob)
+
+    def kernel(key, params, log_p, eps, inv_mass):
+        k_mom, k_acc, key = jax.random.split(key, 3)
+        # momentum ~ N(0, mass): sample with std = 1/sqrt(inv_mass)
+        noise = tree_randn_like(k_mom, params)
+        momentum = jax.tree.map(
+            lambda z, v: z / jnp.sqrt(v), noise, inv_mass
+        )
+        h0 = -log_p + kinetic(momentum, inv_mass)
+        new_params, new_mom = leapfrog(
+            grad_fn, params, momentum, eps, inv_mass, n_leapfrog
+        )
+        new_log_p = log_prob(new_params)
+        h1 = -new_log_p + kinetic(new_mom, inv_mass)
+        log_accept = jnp.clip(h0 - h1, max=0.0)
+        log_accept = jnp.where(jnp.isfinite(log_accept), log_accept, -jnp.inf)
+        accept = jnp.log(jax.random.uniform(k_acc)) < log_accept
+        params = jax.tree.map(
+            lambda a, b: jnp.where(accept, b, a), params, new_params
+        )
+        log_p = jnp.where(accept, new_log_p, log_p)
+        return params, log_p, jnp.exp(log_accept), key
+
+    return kernel
+
+
+class WelfordState(NamedTuple):
+    mean: object
+    m2: object
+    count: jnp.ndarray
+
+
+def welford_init(params):
+    return WelfordState(
+        mean=jax.tree.map(jnp.zeros_like, params),
+        m2=jax.tree.map(jnp.zeros_like, params),
+        count=jnp.zeros(()),
+    )
+
+
+def welford_update(state: WelfordState, params):
+    count = state.count + 1.0
+    delta = jax.tree.map(lambda p, m: p - m, params, state.mean)
+    mean = jax.tree.map(lambda m, d: m + d / count, state.mean, delta)
+    delta2 = jax.tree.map(lambda p, m: p - m, params, mean)
+    m2 = jax.tree.map(lambda a, d, d2: a + d * d2, state.m2, delta, delta2)
+    return WelfordState(mean=mean, m2=m2, count=count)
+
+
+def welford_variance(state: WelfordState, regularize=True):
+    def var(m2):
+        v = m2 / jnp.maximum(state.count - 1.0, 1.0)
+        if regularize:  # shrink toward 1 like Stan
+            w = state.count / (state.count + 5.0)
+            v = w * v + (1.0 - w) * 1e-3
+        return jnp.maximum(v, 1e-6)
+
+    return jax.tree.map(var, state.m2)
+
+
+def run_hmc(
+    key,
+    log_prob: Callable,
+    init_params,
+    *,
+    n_samples: int,
+    n_warmup: int = 500,
+    n_leapfrog: int = 32,
+    init_eps: float = 0.1,
+    target_accept: float = 0.8,
+    n_chains: int = 1,
+    thin: int = 1,
+):
+    """Run `n_chains` HMC chains (vmapped). Returns (samples, diagnostics).
+
+    samples: pytree with leading axes (n_chains, n_samples // thin).
+    init_params must have a leading chain axis iff n_chains > 1.
+    """
+    kernel = hmc_kernel(log_prob, n_leapfrog)
+
+    def single_chain(key, params0):
+        log_p0 = log_prob(params0)
+        da0 = da_init(jnp.asarray(init_eps))
+        wf0 = welford_init(params0)
+        inv_mass0 = jax.tree.map(jnp.ones_like, params0)
+
+        def warm_body(carry, _):
+            params, log_p, key, da, wf, inv_mass = carry
+            params, log_p, acc, key = kernel(
+                key, params, log_p, jnp.exp(da.log_eps), inv_mass
+            )
+            da = da_update(da, acc, target=target_accept)
+            wf = welford_update(wf, params)
+            return (params, log_p, key, da, wf, inv_mass), acc
+
+        # Stan-style windowed warmup:
+        #   phase 1 (30%): adapt eps under unit mass;
+        #   phase 2 (40%): keep adapting eps, accumulate Welford variance;
+        #   phase 3 (30%): freeze mass = variance, RE-adapt eps under it
+        # (re-initializing dual averaging — eps tuned for unit mass is
+        # wrong once the mass changes).
+        n1 = max(int(0.3 * n_warmup), 1)
+        n3 = max(int(0.3 * n_warmup), 1)
+        n2 = max(n_warmup - n1 - n3, 1)
+        carry = (params0, log_p0, key, da0, wf0, inv_mass0)
+        carry, _ = jax.lax.scan(warm_body, carry, None, length=n1)
+        params, log_p, key, da, wf, _ = carry
+        carry = (params, log_p, key, da, welford_init(params), inv_mass0)
+        carry, _ = jax.lax.scan(warm_body, carry, None, length=n2)
+        params, log_p, key, da, wf, _ = carry
+        inv_mass = welford_variance(wf)
+        carry = (params, log_p, key, da_init(jnp.exp(da.log_eps)),
+                 welford_init(params), inv_mass)
+        carry, _ = jax.lax.scan(warm_body, carry, None, length=n3)
+        params, log_p, key, da, _, _ = carry
+        eps = jnp.exp(da.log_eps_avg)
+
+        def sample_body(carry, _):
+            params, log_p, key = carry
+            accs = jnp.zeros(())
+            for _ in range(thin):
+                params, log_p, acc, key = kernel(
+                    key, params, log_p, eps, inv_mass
+                )
+                accs = accs + acc / thin
+            return (params, log_p, key), (params, accs)
+
+        (_, _, _), (samples, accs) = jax.lax.scan(
+            sample_body, (params, log_p, key), None,
+            length=n_samples // thin,
+        )
+        return samples, {"accept_rate": jnp.mean(accs), "eps": eps}
+
+    if n_chains == 1:
+        return single_chain(key, init_params)
+    keys = jax.random.split(key, n_chains)
+    return jax.vmap(single_chain)(keys, init_params)
