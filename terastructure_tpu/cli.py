@@ -1,0 +1,299 @@
+"""Command-line interface — the reference binary's user surface, rebuilt.
+
+Reference parity (src/main.cc + Env, SURVEY.md §2/§3): a run creates the
+output directory ``n{N}-k{K}-l{L}-{label}/`` containing infer.log, the
+validation log-likelihood trace, and gamma/theta/lambda/beta text files.
+Subcommands replace the reference's flag soup:
+
+    python -m terastructure_tpu.cli fit --bed data.bed -k 8 [--replicates 10]
+    python -m terastructure_tpu.cli compute-beta --run-dir n..-k..-l..-run/
+    python -m terastructure_tpu.cli simulate -n 1000 -l 10000 -k 3 -o sim
+    python -m terastructure_tpu.cli validate --bed data.bed -k 3 --sampler nuts
+
+The reference workflow of ~10 seeds / keep the best validation run
+(SURVEY.md §1.2 step 6) is `fit --replicates R`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def _add_model_args(p):
+    p.add_argument("-k", type=int, required=True, help="ancestral populations")
+    p.add_argument("--alpha", type=float, default=None,
+                   help="Dirichlet prior (default 1/K)")
+    p.add_argument("--beta-a", type=float, default=1.0)
+    p.add_argument("--beta-b", type=float, default=1.0)
+
+
+def _add_svi_args(p):
+    p.add_argument("--batch-size", type=int, default=256,
+                   help="SNP minibatch per iteration")
+    p.add_argument("--tau0", type=float, default=1.0)
+    p.add_argument("--kappa", type=float, default=0.5)
+    p.add_argument("--local-iters", type=int, default=16)
+    p.add_argument("--rfreq", type=int, default=100,
+                   help="validation check every rfreq iterations")
+    p.add_argument("--max-steps", type=int, default=20000)
+    p.add_argument("--validation-frac", type=float, default=0.005)
+    p.add_argument("--heldout-frac", type=float, default=0.005)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--label", default="run")
+    p.add_argument("--out-base", default=".", help="where to create the run dir")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--force-cpu", action="store_true",
+                   help="run on CPU (tests/debug)")
+
+
+def _add_data_args(p):
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--bed", help="PLINK .bed (with sibling .bim/.fam)")
+    g.add_argument("--txt", help="text genotype matrix (SNP-major rows)")
+    g.add_argument("--simulate", action="store_true",
+                   help="fit a simulated PSD dataset (-n/-l required)")
+    p.add_argument("-n", type=int, help="individuals (txt/simulate)")
+    p.add_argument("-l", type=int, help="SNPs (txt/simulate)")
+
+
+def _force_cpu():
+    os.environ.pop("JAX_PLATFORMS", None)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _load_data(args, *, seed: int):
+    from terastructure_tpu.data import GenotypeData
+    from terastructure_tpu.data.bed import read_bed, read_text_genotypes
+    from terastructure_tpu.data.dataset import EntrySet  # noqa: F401
+    from terastructure_tpu.data.simulate import simulate_psd
+
+    vf = getattr(args, "validation_frac", 0.005)
+    hf = getattr(args, "heldout_frac", 0.005)
+    if args.bed:
+        packed, ind_ids, snp_ids = read_bed(args.bed)
+        from terastructure_tpu.data.pack import unpack2bit
+
+        x = unpack2bit(packed, len(ind_ids)).T         # (N, L) dense
+        data = GenotypeData.from_dense(
+            x, validation_frac=vf, heldout_frac=hf, seed=seed,
+            ind_ids=ind_ids, snp_ids=snp_ids,
+        )
+    elif args.txt:
+        x = read_text_genotypes(args.txt).T            # (N, L)
+        if args.n and x.shape[0] != args.n:
+            raise SystemExit(
+                f"-n {args.n} does not match {x.shape[0]} individuals in {args.txt}")
+        data = GenotypeData.from_dense(
+            x, validation_frac=vf, heldout_frac=hf, seed=seed)
+    else:
+        if not (args.n and args.l):
+            raise SystemExit("--simulate requires -n and -l")
+        _, _, x = simulate_psd(args.n, args.l, args.k, seed=seed)
+        data = GenotypeData.from_dense(
+            x, validation_frac=vf, heldout_frac=hf, seed=seed)
+    return data
+
+
+def _setup_run_dir(cfg, base):
+    run_dir = cfg.make_run_dir(base)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=[
+            logging.FileHandler(os.path.join(run_dir, "infer.log")),
+            logging.StreamHandler(sys.stderr),
+        ],
+        force=True,
+    )
+    # Orbax/absl emit copious INFO; keep infer.log to our own records.
+    for noisy in ("absl", "orbax", "jax._src", "etils"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    return run_dir
+
+
+def cmd_fit(args):
+    if args.force_cpu:
+        _force_cpu()
+    from terastructure_tpu.config import SVIConfig
+    from terastructure_tpu.io.checkpoint import save_checkpoint
+    from terastructure_tpu.io.export import save_model
+    from terastructure_tpu.svi import fit
+
+    data0 = _load_data(args, seed=args.seed)
+    cfg0 = SVIConfig(
+        n=data0.n, l=data0.l, k=args.k, alpha=args.alpha,
+        beta_a=args.beta_a, beta_b=args.beta_b,
+        batch_size=min(args.batch_size, data0.l),
+        tau0=args.tau0, kappa=args.kappa, local_iters=args.local_iters,
+        rfreq=args.rfreq, max_steps=args.max_steps,
+        validation_frac=args.validation_frac,
+        heldout_frac=args.heldout_frac,
+        compute_dtype=args.compute_dtype,
+        seed=args.seed, label=args.label,
+    )
+    run_dir = _setup_run_dir(cfg0, args.out_base)
+    log = logging.getLogger("terastructure_tpu")
+
+    seeds = [args.seed + i for i in range(max(args.replicates, 1))]
+    best = None
+    for seed in seeds:
+        cfg = cfg0.replace(seed=seed)
+        # Replicates share one data split (comparable validation lls);
+        # the seed varies init + minibatch stream only.
+        data = data0
+        sub = run_dir if len(seeds) == 1 else os.path.join(
+            run_dir, f"replicate-s{seed}")
+        os.makedirs(sub, exist_ok=True)
+        log.info("fitting seed=%d -> %s", seed, sub)
+        res = fit(cfg, data, metrics_path=os.path.join(sub, "metrics.jsonl"))
+        log.info(
+            "seed=%d converged=%s steps=%d validation_ll=%.6f heldout_ll=%s",
+            seed, res.converged, res.steps, res.validation_ll,
+            f"{res.heldout_ll:.6f}" if res.heldout_ll is not None else "n/a",
+        )
+        save_model(sub, res.state.gamma, res.state.lamb,
+                   n=cfg.n, l=cfg.l,
+                   ind_ids=data.ind_ids, snp_ids=data.snp_ids)
+        save_checkpoint(os.path.join(sub, "checkpoint"), res.state, cfg)
+        with open(os.path.join(sub, "result.json"), "w") as f:
+            json.dump(
+                dict(seed=seed, converged=res.converged, steps=res.steps,
+                     validation_ll=res.validation_ll,
+                     heldout_ll=res.heldout_ll, wall_s=res.wall_s),
+                f, indent=2)
+        if best is None or res.validation_ll > best[1]:
+            best = (seed, res.validation_ll, sub)
+    if len(seeds) > 1:
+        log.info("best replicate: seed=%d validation_ll=%.6f (%s)",
+                 best[0], best[1], best[2])
+        with open(os.path.join(run_dir, "best.json"), "w") as f:
+            json.dump(dict(seed=best[0], validation_ll=best[1],
+                           dir=os.path.basename(best[2])), f, indent=2)
+    print(run_dir)
+
+
+def cmd_compute_beta(args):
+    if args.force_cpu:
+        _force_cpu()
+    from terastructure_tpu.io.checkpoint import restore_checkpoint
+    from terastructure_tpu.io.export import _write_matrix
+    from terastructure_tpu.svi.postprocess import compute_beta
+
+    ckpt = os.path.join(args.run_dir, "checkpoint")
+    state, cfg = restore_checkpoint(ckpt)
+    data = _load_data(args, seed=cfg.seed)
+    if (data.n, data.l) != (cfg.n, cfg.l):
+        raise SystemExit(
+            f"data shape {(data.n, data.l)} != run config {(cfg.n, cfg.l)}")
+    beta = compute_beta(cfg, state.gamma[: cfg.n], data.packed)
+    out = os.path.join(args.run_dir, "beta.txt")
+    _write_matrix(out, beta, data.snp_ids)
+    print(out)
+
+
+def cmd_simulate(args):
+    from terastructure_tpu.data.bed import write_bed, write_bim, write_fam
+    from terastructure_tpu.data.pack import pack2bit
+    from terastructure_tpu.data.simulate import simulate_psd
+    from terastructure_tpu.io.export import _write_matrix
+
+    theta, beta, x = simulate_psd(
+        args.n, args.l, args.k, alpha=args.alpha,
+        beta_a=args.beta_a, beta_b=args.beta_b,
+        missing_frac=args.missing_frac, seed=args.seed,
+        structured=not args.unstructured,
+    )
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    packed = pack2bit(np.ascontiguousarray(x.T))
+    write_bed(args.out + ".bed", packed, args.n)
+    write_fam(args.out + ".fam", [f"ind{i}" for i in range(args.n)])
+    write_bim(args.out + ".bim", [f"snp{j}" for j in range(args.l)])
+    _write_matrix(args.out + ".theta_true.txt", theta)
+    _write_matrix(args.out + ".beta_true.txt", beta)
+    print(args.out + ".bed")
+
+
+def cmd_validate(args):
+    if args.force_cpu:
+        _force_cpu()
+    from terastructure_tpu.mcmc.validate import compare_svi_mcmc
+
+    data = _load_data(args, seed=args.seed)
+    from terastructure_tpu.data.pack import unpack2bit
+
+    x = unpack2bit(data.packed, data.n).T
+    if args.sub_n or args.sub_l:
+        x = x[: args.sub_n or x.shape[0], : args.sub_l or x.shape[1]]
+    kw = {}
+    if args.sampler in ("nuts", "hmc"):
+        kw = dict(n_samples=args.n_samples, n_warmup=args.n_warmup)
+    rep = compare_svi_mcmc(x, k=args.k, sampler=args.sampler,
+                           seed=args.seed, **kw)
+    out = dict(theta_mae=rep.theta_mae, beta_mae=rep.beta_mae,
+               svi_steps=rep.svi_steps,
+               sampler=args.sampler)
+    print(json.dumps(out))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="terastructure_tpu",
+        description="TPU-native SVI for the PSD/admixture model",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("fit", help="fit the model with SVI")
+    _add_data_args(p)
+    _add_model_args(p)
+    _add_svi_args(p)
+    p.add_argument("--replicates", type=int, default=1,
+                   help="multi-seed replicates; keep best validation ll")
+    p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser("compute-beta",
+                       help="refit per-SNP beta with theta frozen")
+    p.add_argument("--run-dir", required=True)
+    _add_data_args(p)
+    p.add_argument("-k", type=int, required=False, help="(ignored; from run)")
+    p.add_argument("--force-cpu", action="store_true")
+    p.set_defaults(fn=cmd_compute_beta)
+
+    p = sub.add_parser("simulate", help="draw a PSD dataset, write PLINK files")
+    p.add_argument("-n", type=int, required=True)
+    p.add_argument("-l", type=int, required=True)
+    _add_model_args(p)
+    p.add_argument("--missing-frac", type=float, default=0.0)
+    p.add_argument("--unstructured", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-o", "--out", required=True, help="output path stem")
+    p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("validate", help="SVI vs NUTS/HMC/SMC moments")
+    _add_data_args(p)
+    _add_model_args(p)
+    _add_svi_args(p)
+    p.add_argument("--sampler", default="nuts",
+                   choices=["nuts", "hmc", "smc"])
+    p.add_argument("--sub-n", type=int, default=0, help="subsample individuals")
+    p.add_argument("--sub-l", type=int, default=0, help="subsample SNPs")
+    p.add_argument("--n-samples", type=int, default=500)
+    p.add_argument("--n-warmup", type=int, default=400)
+    p.set_defaults(fn=cmd_validate)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""End-to-end CLI + IO tests: bed round-trip, fit run-dir, compute-beta,
+checkpoint resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from terastructure_tpu.cli import main as cli_main
+from terastructure_tpu.data.bed import (
+    read_bed, read_text_genotypes, write_bed, write_bim, write_fam,
+)
+from terastructure_tpu.data.pack import pack2bit, unpack2bit
+from terastructure_tpu.data.simulate import simulate_psd
+from terastructure_tpu.io.export import load_matrix
+from terastructure_tpu.models.psd import MISSING
+
+
+def test_bed_roundtrip(tmp_path, rng):
+    n, l = 13, 29                                   # ragged on purpose
+    x = rng.integers(0, 4, size=(l, n)).astype(np.int8)
+    packed = pack2bit(x)
+    stem = str(tmp_path / "toy")
+    write_bed(stem + ".bed", packed, n)
+    write_fam(stem + ".fam", [f"i{i}" for i in range(n)])
+    write_bim(stem + ".bim", [f"s{j}" for j in range(l)])
+    got, ind_ids, snp_ids = read_bed(stem + ".bed")
+    assert len(ind_ids) == n and len(snp_ids) == l
+    np.testing.assert_array_equal(unpack2bit(got, n), x)
+
+
+def test_bed_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.bed"
+    p.write_bytes(b"\x00\x00\x01" + b"\x00" * 10)
+    with pytest.raises(ValueError, match="bad magic"):
+        read_bed(str(p), n=4, l=10)
+
+
+def test_bed_padding_is_missing(tmp_path, rng):
+    n, l = 5, 3                                     # n%4 != 0
+    x = rng.integers(0, 3, size=(l, n)).astype(np.int8)
+    stem = str(tmp_path / "pad")
+    write_bed(stem + ".bed", pack2bit(x), n)
+    got, _, _ = read_bed(stem + ".bed", n=n, l=l)
+    full = unpack2bit(got, 8)
+    assert (full[:, n:] == MISSING).all()
+
+
+def test_text_reader(tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text("0 1 2\n2 9 0\n")                  # 2 SNPs x 3 ind, 9=missing
+    x = read_text_genotypes(str(p))                 # -> (N=3, L=2)
+    assert x.shape == (3, 2)
+    assert x[1, 1] == MISSING
+
+
+def test_cli_simulate_fit_computebeta_roundtrip(tmp_path):
+    os.chdir(tmp_path)
+    stem = str(tmp_path / "sim" / "toy")
+    cli_main(["simulate", "-n", "48", "-l", "120", "-k", "2",
+              "--seed", "3", "-o", stem])
+    assert os.path.exists(stem + ".bed")
+
+    cli_main([
+        "fit", "--bed", stem + ".bed", "-k", "2",
+        "--batch-size", "32", "--rfreq", "50", "--max-steps", "400",
+        "--label", "t", "--out-base", str(tmp_path), "--seed", "3",
+        "--force-cpu",
+    ])
+    run_dir = tmp_path / "n48-k2-l120-t"
+    assert run_dir.is_dir()
+    for f in ("theta.txt", "gamma.txt", "beta.txt", "lambda.txt",
+              "metrics.jsonl", "infer.log", "config.json", "result.json"):
+        assert (run_dir / f).exists(), f
+    theta = load_matrix(run_dir / "theta.txt")
+    assert theta.shape == (48, 2)
+    np.testing.assert_allclose(theta.sum(1), 1.0, rtol=1e-4)
+    res = json.loads((run_dir / "result.json").read_text())
+    assert np.isfinite(res["validation_ll"])
+
+    # compute-beta over the checkpoint reproduces a (L, K) simplex-free matrix
+    cli_main(["compute-beta", "--run-dir", str(run_dir),
+              "--bed", stem + ".bed", "--force-cpu"])
+    beta = load_matrix(run_dir / "beta.txt")
+    assert beta.shape == (120, 2)
+    assert ((beta > 0) & (beta < 1)).all()
+
+
+def test_cli_replicates(tmp_path):
+    stem = str(tmp_path / "toy2")
+    cli_main(["simulate", "-n", "24", "-l", "60", "-k", "2",
+              "--seed", "5", "-o", stem])
+    cli_main([
+        "fit", "--bed", stem + ".bed", "-k", "2", "--replicates", "2",
+        "--batch-size", "16", "--rfreq", "50", "--max-steps", "150",
+        "--label", "reps", "--out-base", str(tmp_path), "--seed", "7",
+        "--force-cpu",
+    ])
+    run_dir = tmp_path / "n24-k2-l60-reps"
+    best = json.loads((run_dir / "best.json").read_text())
+    assert best["dir"] in ("replicate-s7", "replicate-s8")
+    for s in (7, 8):
+        assert (run_dir / f"replicate-s{s}" / "theta.txt").exists()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from terastructure_tpu.config import SVIConfig
+    from terastructure_tpu.data import GenotypeData
+    from terastructure_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+    from terastructure_tpu.svi import engine
+
+    _, _, x = simulate_psd(16, 32, 2, seed=9)
+    data = GenotypeData.from_dense(x, validation_frac=0, heldout_frac=0, seed=9)
+    cfg = SVIConfig(n=16, l=32, k=2, batch_size=8, seed=9)
+    import jax.numpy as jnp
+
+    state = engine.init_state(cfg)
+    step = engine.make_step(cfg)
+    state = step(state, jnp.asarray(data.packed))
+
+    save_checkpoint(str(tmp_path / "ck"), state, cfg)
+    state2, cfg2 = restore_checkpoint(str(tmp_path / "ck"))
+    assert cfg2 == cfg
+    assert int(state2.t) == int(state.t) == 1
+    np.testing.assert_array_equal(np.asarray(state2.gamma), np.asarray(state.gamma))
+
+    # resuming continues identically to an uninterrupted run
+    s_resumed = step(state2, jnp.asarray(data.packed))
+    s_straight = step(state, jnp.asarray(data.packed))
+    np.testing.assert_allclose(
+        np.asarray(s_resumed.gamma), np.asarray(s_straight.gamma), rtol=1e-6)
