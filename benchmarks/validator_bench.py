@@ -1,0 +1,50 @@
+"""BASELINE.json config #4: NUTS/HMC + SMC on a 500 x 5K subsample vs SVI.
+
+    python benchmarks/validator_bench.py [--sampler nuts|hmc|smc] [--full]
+
+Default runs a quicker 500 x 1K slice; --full runs the whole 500 x 5K
+config. Prints a JSON report of label-aligned moment discrepancies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sampler", default="nuts", choices=["nuts", "hmc", "smc"])
+    ap.add_argument("--k", type=int, default=3)
+    ap.add_argument("--full", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from terastructure_tpu.data.simulate import simulate_psd
+    from terastructure_tpu.mcmc.validate import compare_svi_mcmc
+
+    n, l = (500, 5000) if args.full else (500, 1000)
+    _, _, x = simulate_psd(n, l, args.k, seed=args.seed, structured=True)
+    t0 = time.time()
+    kw = {}
+    if args.sampler in ("nuts", "hmc"):
+        kw = dict(n_samples=500, n_warmup=400)
+    else:
+        kw = dict(n_particles=512, n_mutations=2, n_leapfrog=8,
+                  mutation_eps=0.05)
+    rep = compare_svi_mcmc(x, k=args.k, sampler=args.sampler,
+                           seed=args.seed, **kw)
+    print(json.dumps(dict(
+        config=f"{n}x{l} K={args.k}", sampler=args.sampler,
+        theta_mae=round(rep.theta_mae, 5), beta_mae=round(rep.beta_mae, 5),
+        svi_steps=rep.svi_steps, wall_s=round(time.time() - t0, 1),
+    )))
+
+
+if __name__ == "__main__":
+    main()

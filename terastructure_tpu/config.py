@@ -41,6 +41,19 @@ class SVIConfig:
     # (SURVEY.md §1.2); we batch many per step to feed the MXU.
     batch_size: int = 64
 
+    # SNP-group sampling granularity: the minibatch is drawn as
+    # batch_size/snp_group uniform groups of snp_group consecutive SNPs.
+    # Group draws keep the gamma natural-gradient estimate unbiased
+    # (every SNP equally likely; scale L/B unchanged) while turning the
+    # per-step HBM gathers/scatters into few large contiguous reads —
+    # per-row gathers are latency-bound on TPU (~0.6 us/row). Set 1
+    # (default) for fully independent draws (reference behavior); groups
+    # only engage at biobank L (engine falls back to 1 when L <= 65536).
+    # Measured on 1 v5e chip the grouped gather did NOT win (the lambda
+    # scatter-through-reshape copies dominate) — kept as an option for
+    # multi-host runs where gather latency compounds.
+    snp_group: int = 1
+
     # Local coordinate-ascent (phi <-> lambda) iterations per minibatch.
     local_iters: int = 16
     local_tol: float = 1e-4     # mean |delta lambda| early-exit threshold
@@ -58,6 +71,11 @@ class SVIConfig:
     # Numerics: dtype for the hot matmuls. f32 matches reference doubles
     # closely; bf16 runs the MXU at full rate with stochastic robustness.
     compute_dtype: str = "float32"
+
+    # Hot-loop implementation: "dense" (jnp matmuls, materializes (B, N)
+    # intermediates), "pallas" (fused in-VMEM unpack kernels,
+    # ops/stats_pallas.py), or "auto" (pallas on TPU, dense elsewhere).
+    kernel: str = "auto"
 
     # Init scale for gamma (reference inits gamma from a gsl rng [MED]).
     gamma_init_scale: float = 0.1

@@ -1,0 +1,267 @@
+"""Fused Pallas TPU kernels for the SVI hot loop.
+
+The dense path (ops/stats_dense.py) materializes (B, N) float32
+intermediates (allele counts, mixture ratios) in HBM every local
+iteration — ~40 MB per iteration at the TGP config. These kernels unpack
+the 2-bit genotypes *in VMEM* and fuse the divide into the two matmuls,
+so per-iteration HBM traffic drops to the packed bytes (B*N/4) plus the
+exp-Elog-theta factor (N*K): ~25x less.
+
+Planar trick: a packed byte holds individuals (4w..4w+3); extracting bit
+plane s via `(bytes >> 2s) & 3` yields individuals {4w+s : w} — a
+strided slice, not an interleave. We pre-shape u as `u_planes (4, W, K)`
+with `u_planes[s, w] = u[4w+s]` (one transpose per step, outside the
+kernel), so each kernel tile processes four (TB, TW) planes with pure
+shift/mask unpacking and plane-local matmuls. Gamma statistics come back
+in the same planar layout and are re-interleaved outside.
+
+Two kernels (separate because their accumulation axes differ and Pallas
+output revisits must be grid-consecutive):
+  - lambda-stats: grid (B/TB, W/TW), accumulate l0/l1 (B, K) over the
+    fast W axis;
+  - gamma-stats: grid (W/TW, B/TB), accumulate g_planes (4, W, K) over
+    the fast B axis.
+
+Shapes must satisfy B % TB == 0 and W % TW == 0 — the engine pads
+individuals (MISSING codes) and the batch accordingly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Default tiles: TB x (4*TW) individuals-per-tile; tuned on v5e.
+DEF_TB = 256
+DEF_TW = 512
+
+_EPS = 1e-30
+
+
+def u_to_planes(u: jnp.ndarray) -> jnp.ndarray:
+    """(N, K) -> (4, W, K) planar layout; requires N % 4 == 0."""
+    n, k = u.shape
+    return u.reshape(n // 4, 4, k).transpose(1, 0, 2)
+
+
+def planes_to_flat(g: jnp.ndarray) -> jnp.ndarray:
+    """(4, W, K) -> (N, K) inverse of u_to_planes."""
+    _, w, k = g.shape
+    return g.transpose(1, 0, 2).reshape(4 * w, k)
+
+
+def _plane_counts(bytes_blk, s, dtype):
+    """Allele-count matrices for bit plane s of a packed byte block."""
+    # Mosaic on v5e restricts u8 vector compare/cast ops — unpack in i32.
+    x = (bytes_blk.astype(jnp.int32) >> (2 * s)) & 0x3
+    missing = x == 3
+    xf = x.astype(jnp.float32)
+    a1 = jnp.where(missing, 0.0, xf).astype(dtype)
+    a0 = jnp.where(missing, 0.0, 2.0 - xf).astype(dtype)
+    return a1, a0
+
+
+def _lambda_kernel(bytes_ref, up_ref, t1_ref, t0_ref, l0_ref, l1_ref,
+                   *, dtype):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        l0_ref[:] = jnp.zeros_like(l0_ref)
+        l1_ref[:] = jnp.zeros_like(l1_ref)
+
+    t1 = t1_ref[:].astype(dtype)          # (TB, K)
+    t0 = t0_ref[:].astype(dtype)
+    blk = bytes_ref[:]                    # (TB, TW) uint8
+    acc0 = jnp.zeros_like(l0_ref)
+    acc1 = jnp.zeros_like(l1_ref)
+    for s in range(4):
+        u_s = up_ref[s].astype(dtype)     # (TW, K)
+        a1, a0 = _plane_counts(blk, s, dtype)
+        d1 = jax.lax.dot_general(
+            t1, u_s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (TB, TW)
+        d0 = jax.lax.dot_general(
+            t0, u_s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r1 = (a1.astype(jnp.float32) / (d1 + _EPS)).astype(dtype)
+        r0 = (a0.astype(jnp.float32) / (d0 + _EPS)).astype(dtype)
+        acc0 = acc0 + jnp.dot(r1, u_s, preferred_element_type=jnp.float32)
+        acc1 = acc1 + jnp.dot(r0, u_s, preferred_element_type=jnp.float32)
+    l0_ref[:] += acc0
+    l1_ref[:] += acc1
+
+
+def _gamma_kernel(bytes_ref, up_ref, t1_ref, t0_ref, g_ref, *, dtype):
+    i = pl.program_id(1)                  # fast axis: batch tiles
+
+    @pl.when(i == 0)
+    def _():
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    t1 = t1_ref[:].astype(dtype)
+    t0 = t0_ref[:].astype(dtype)
+    blk = bytes_ref[:]
+    for s in range(4):
+        u_s = up_ref[s].astype(dtype)
+        a1, a0 = _plane_counts(blk, s, dtype)
+        d1 = jax.lax.dot_general(
+            t1, u_s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d0 = jax.lax.dot_general(
+            t0, u_s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r1 = (a1.astype(jnp.float32) / (d1 + _EPS)).astype(dtype)
+        r0 = (a0.astype(jnp.float32) / (d0 + _EPS)).astype(dtype)
+        # (TW, K) partial: r^T @ t
+        g_ref[s] += (
+            jax.lax.dot_general(
+                r1, t1, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                r0, t0, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        )
+
+
+def _tiles(b, w, tb, tw):
+    if b % tb or w % tw:
+        raise ValueError(f"B={b} W={w} must be divisible by tiles ({tb},{tw})")
+    return b // tb, w // tw
+
+
+def pick_tiles(b: int, w: int) -> tuple[int, int]:
+    """Largest supported tile sizes dividing (B, W)."""
+    tb = next((t for t in (256, 128, 64, 32, 16, 8) if b % t == 0), None)
+    tw = next((t for t in (512, 256, 128) if w % t == 0), None)
+    if tb is None or tw is None:
+        raise ValueError(
+            f"B={b} needs a divisor in 8..256 and W={w} in 128/256/512; "
+            "pad the batch/individuals (engine does this automatically)")
+    return tb, tw
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "tw", "dtype", "interpret"))
+def lambda_stats_packed(rows, u_planes, t1, t0, *, tb=DEF_TB, tw=DEF_TW,
+                        dtype=jnp.bfloat16, interpret=False):
+    """Raw lambda statistics from packed genotype rows.
+
+    rows: (B, W) uint8; u_planes: (4, W, K) f32; t1/t0: (B, K) f32.
+    Returns (l0_raw, l1_raw) (B, K) f32 — caller multiplies by t1/t0.
+    """
+    b, w = rows.shape
+    k = u_planes.shape[-1]
+    nb, nw = _tiles(b, w, tb, tw)
+    kern = functools.partial(_lambda_kernel, dtype=dtype)
+    l0, l1 = pl.pallas_call(
+        kern,
+        grid=(nb, nw),
+        in_specs=[
+            pl.BlockSpec((tb, tw), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tw, k), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows, u_planes, t1, t0)
+    return l0, l1
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "tw", "dtype", "interpret"))
+def gamma_stats_packed(rows, u_planes, t1, t0, *, tb=DEF_TB, tw=DEF_TW,
+                       dtype=jnp.bfloat16, interpret=False):
+    """Raw gamma statistics (planar): (4, W, K) f32 = sum_b r^T t.
+
+    Caller re-interleaves via planes_to_flat and multiplies by u.
+    """
+    b, w = rows.shape
+    k = u_planes.shape[-1]
+    nb, nw = _tiles(b, w, tb, tw)
+    kern = functools.partial(_gamma_kernel, dtype=dtype)
+    g = pl.pallas_call(
+        kern,
+        grid=(nw, nb),
+        in_specs=[
+            pl.BlockSpec((tb, tw), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tw, k), lambda j, i: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, tw, k), lambda j, i: (0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, w, k), jnp.float32),
+        interpret=interpret,
+    )(rows, u_planes, t1, t0)
+    return g
+
+
+def local_solve_packed(rows, u, lamb_b, *, beta_a, beta_b, local_iters,
+                       local_tol, tb, tw, dtype=jnp.bfloat16,
+                       interpret=False):
+    """Pallas-backed local coordinate ascent; mirrors
+    stats_dense.local_solve but consumes packed rows directly.
+
+    u: (N, K) with N % 4 == 0 (padded); returns converged lamb_b (B,K,2).
+    """
+    from terastructure_tpu.models.psd import elog_beta
+
+    u_planes = u_to_planes(u)
+
+    def cond(carry):
+        lam, it, delta = carry
+        return jnp.logical_and(it < local_iters, delta > local_tol)
+
+    def body(carry):
+        lam, it, _ = carry
+        e1, e0 = elog_beta(lam)
+        t1, t0 = jnp.exp(e1), jnp.exp(e0)
+        l0, l1 = lambda_stats_packed(
+            rows, u_planes, t1, t0, tb=tb, tw=tw, dtype=dtype,
+            interpret=interpret)
+        new = jnp.stack([beta_a + t1 * l0, beta_b + t0 * l1], axis=-1)
+        delta = jnp.mean(jnp.abs(new - lam)) / (jnp.mean(jnp.abs(lam)) + 1.0)
+        return new, it + 1, delta
+
+    lam, _, _ = jax.lax.while_loop(
+        cond, body, (lamb_b, jnp.int32(0), jnp.float32(jnp.inf)))
+    return lam
+
+
+def batch_stats_packed(rows, u, t1, t0, *, tb, tw, dtype=jnp.bfloat16,
+                       interpret=False):
+    """All sufficient stats from packed rows (converged t1/t0).
+
+    Returns (gamma_stat (N, K), l0 (B, K), l1 (B, K)) matching
+    stats_dense.batch_stats semantics (lambda stats already scaled by t).
+    """
+    u_planes = u_to_planes(u)
+    l0, l1 = lambda_stats_packed(
+        rows, u_planes, t1, t0, tb=tb, tw=tw, dtype=dtype,
+        interpret=interpret)
+    g = gamma_stats_packed(
+        rows, u_planes, t1, t0, tb=tb, tw=tw, dtype=dtype,
+        interpret=interpret)
+    gamma_stat = u * planes_to_flat(g)
+    return gamma_stat, t1 * l0, t0 * l1

@@ -57,7 +57,7 @@ def fit(
         state = engine.init_state(cfg, l_padded=data.packed.shape[0])
 
     factory = step_fn_factory or engine.make_run_chunk
-    run_chunk = factory(cfg, cfg.rfreq)
+    run_chunk = factory(cfg, cfg.rfreq, int(data.packed.shape[0]))
 
     val = data.validation
     val_args = None

@@ -76,55 +76,172 @@ def _sample_batch(key, l_real, batch_size):
     return jax.random.randint(key, (batch_size,), 0, l_real, dtype=jnp.int32)
 
 
-def step_on_batch(cfg: SVIConfig, gamma, lamb, xb, idx, t):
-    """One SVI update given an unpacked minibatch xb (B, N) and SNP ids idx.
+def _group_size(cfg: SVIConfig, l_sample: int) -> int:
+    """Effective SNP-group granularity (1 = independent per-SNP draws)."""
+    g = cfg.snp_group
+    if (g <= 1 or l_sample <= 65536 or l_sample % g
+            or cfg.batch_size % g):
+        return 1
+    return g
 
-    Pure in (gamma, lamb); shared by the single-device and sharded paths.
-    Returns (gamma', lamb').
+
+def _gather_batch(cfg: SVIConfig, packed, lamb, key, l_sample):
+    """Sample the minibatch and gather its genotype rows + lambda rows.
+
+    Group-sampled at biobank L (see SVIConfig.snp_group): draws B/G
+    groups of G consecutive SNPs so the HBM gather is B/G large rows of
+    a (L/G, G*W) view instead of B latency-bound small rows.
+
+    Returns (idx (B,), rows (B, W), lamb_b (B, K, 2), scatter_fn) where
+    scatter_fn(lamb, new_lamb_b) writes the converged lambda back.
+    """
+    b = cfg.batch_size
+    g = _group_size(cfg, l_sample)
+    if g == 1:
+        idx = _sample_batch(key, l_sample, b)
+        rows = packed[idx]
+        return idx, rows, lamb[idx], lambda lm, new: lm.at[idx].set(new)
+
+    lg = l_sample // g
+    ng = b // g
+    w = packed.shape[1]
+    k = lamb.shape[1]
+    gidx = jax.random.randint(key, (ng,), 0, lg, dtype=jnp.int32)
+    idx = (gidx[:, None] * g + jnp.arange(g, dtype=jnp.int32)).reshape(b)
+    rows = packed.reshape(lg, g * w)[gidx].reshape(b, w)
+    lamb_b = lamb.reshape(lg, g, k, 2)[gidx].reshape(b, k, 2)
+
+    def scatter(lm, new):
+        return lm.reshape(lg, g, k, 2).at[gidx].set(
+            new.reshape(ng, g, k, 2)).reshape(l_sample, k, 2)
+
+    return idx, rows, lamb_b, scatter
+
+
+def _resolve_kernel(cfg: SVIConfig) -> str:
+    if cfg.kernel != "auto":
+        return cfg.kernel
+    return "pallas" if jax.default_backend() == "tpu" else "dense"
+
+
+def step_core_packed(cfg: SVIConfig, gamma, rows, lamb_b, *,
+                     interpret=False):
+    """Local solve + stats from packed rows (B, W) — fused Pallas path.
+
+    Pads the byte-width, batch, and individual axes to kernel tiles
+    inside the trace (padding decodes as MISSING / contributes zero).
+    Returns (new_lamb_b (B, K, 2), gamma_stat (N, K)).
+    """
+    from terastructure_tpu.ops import stats_pallas as pk
+
+    b, w = rows.shape
+    n = gamma.shape[0]
+    w_pad = (-w) % 128            # 4*(w+w_pad) = padded N for the kernel
+    n_padded = 4 * (w + w_pad)
+    has_tb = any(b % tt == 0 for tt in (256, 128, 64, 32, 16, 8))
+    b_pad = 0 if has_tb else (-b) % 8
+    if w_pad or b_pad:
+        rows = jnp.pad(rows, ((0, b_pad), (0, w_pad)), constant_values=0xFF)
+    tb, tw = pk.pick_tiles(b + b_pad, w + w_pad)
+
+    u = ops.exp_elog_theta(gamma)
+    if n_padded != n:
+        u = jnp.pad(u, ((0, n_padded - n), (0, 0)), constant_values=1.0)
+    if b_pad:
+        lamb_b = jnp.pad(lamb_b, ((0, b_pad), (0, 0), (0, 0)),
+                         constant_values=1.0)
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
+    lamb_b = pk.local_solve_packed(
+        rows, u, lamb_b,
+        beta_a=cfg.beta_a, beta_b=cfg.beta_b,
+        local_iters=cfg.local_iters, local_tol=cfg.local_tol,
+        tb=tb, tw=tw, dtype=dtype, interpret=interpret,
+    )
+    e1, e0 = psd.elog_beta(lamb_b)
+    t1, t0 = jnp.exp(e1), jnp.exp(e0)
+    gamma_stat, l0, l1 = pk.batch_stats_packed(
+        rows, u, t1, t0, tb=tb, tw=tw, dtype=dtype, interpret=interpret)
+    new_lamb_b = jnp.stack(
+        [cfg.beta_a + l0, cfg.beta_b + l1], axis=-1)[:b]
+    return new_lamb_b, gamma_stat[:n]
+
+
+def step_core_dense(cfg: SVIConfig, gamma, xb, lamb_b):
+    """Local solve + stats from an unpacked minibatch xb (B, N) — MXU path.
+
+    Returns (new_lamb_b (B, K, 2), gamma_stat (N, K)).
     """
     dtype = jnp.dtype(cfg.compute_dtype)
     a1, a0 = ops.allele_counts(xb, jnp.float32)
     u = ops.exp_elog_theta(gamma)
-
     lamb_b = ops.local_solve(
-        a1, a0, u, lamb[idx],
+        a1, a0, u, lamb_b,
         beta_a=cfg.beta_a, beta_b=cfg.beta_b,
         local_iters=cfg.local_iters, local_tol=cfg.local_tol, dtype=dtype,
     )
-
     t1, t0 = ops.exp_elog_beta(lamb_b)
     stats = ops.batch_stats(a1, a0, u, t1, t0, dtype)
-
     new_lamb_b = jnp.stack(
         [cfg.beta_a + stats.lam0_stat, cfg.beta_b + stats.lam1_stat], axis=-1
     )
-    lamb = lamb.at[idx].set(new_lamb_b)
+    return new_lamb_b, stats.gamma_stat
 
+
+def _global_update(cfg: SVIConfig, gamma, gamma_stat, t, l_sample):
+    """Robbins–Monro natural-gradient gamma update (SURVEY.md §1.2 step 3).
+
+    The L/B scale uses the (possibly padded) sampling range: padding SNPs
+    are all-MISSING, so sampling over [0, l_sample) with scale
+    l_sample/B keeps the estimator unbiased for the real-SNP sum.
+    """
     rho = jnp.asarray(cfg.rho(t.astype(jnp.float32)), jnp.float32)
-    scale = jnp.float32(cfg.l) / jnp.float32(cfg.batch_size)
-    gamma_target = cfg.alpha_value + scale * stats.gamma_stat
-    gamma = (1.0 - rho) * gamma + rho * gamma_target
+    scale = jnp.float32(l_sample) / jnp.float32(cfg.batch_size)
+    gamma_target = cfg.alpha_value + scale * gamma_stat
+    return (1.0 - rho) * gamma + rho * gamma_target
+
+
+def step_on_batch(cfg: SVIConfig, gamma, lamb, xb, idx, t):
+    """One dense SVI update given minibatch xb (B, N) and SNP ids idx.
+
+    Kept as the simple reference building block (tests, sharded-path
+    cross-checks). Pure in (gamma, lamb)."""
+    new_lamb_b, gamma_stat = step_core_dense(cfg, gamma, xb, lamb[idx])
+    lamb = lamb.at[idx].set(new_lamb_b)
+    gamma = _global_update(cfg, gamma, gamma_stat, t, cfg.l)
     return gamma, lamb
 
 
-def make_step(cfg: SVIConfig):
-    """Build the jittable single-device SVI step: (state, packed) -> state."""
+def make_step(cfg: SVIConfig, l_sample: int | None = None):
+    """Build the jittable single-device SVI step: (state, packed) -> state.
+
+    l_sample: the SNP range to sample over — pass the padded row count
+    when the packed matrix has padding rows (defaults to cfg.l).
+    """
+    impl = _resolve_kernel(cfg)
+    interpret = jax.default_backend() != "tpu"
+    l_s = l_sample or cfg.l
 
     def step(state: SVIState, packed) -> SVIState:
         gamma, lamb, t, key = state
         kb = jax.random.fold_in(key, t)
-        idx = _sample_batch(kb, cfg.l, cfg.batch_size)
-        rows = packed[idx]                       # (B, W) uint8 gather
-        xb = unpack2bit_jnp(rows, cfg.n)         # (B, N) int8
-        gamma, lamb = step_on_batch(cfg, gamma, lamb, xb, idx, t)
+        idx, rows, lamb_b, scatter = _gather_batch(cfg, packed, lamb, kb, l_s)
+        if impl == "pallas":
+            new_lamb_b, gamma_stat = step_core_packed(
+                cfg, gamma, rows, lamb_b, interpret=interpret)
+        else:
+            xb = unpack2bit_jnp(rows, cfg.n)     # (B, N) int8
+            new_lamb_b, gamma_stat = step_core_dense(cfg, gamma, xb, lamb_b)
+        lamb = scatter(lamb, new_lamb_b)
+        gamma = _global_update(cfg, gamma, gamma_stat, t, l_s)
         return SVIState(gamma=gamma, lamb=lamb, t=t + 1, key=key)
 
     return step
 
 
-def make_run_chunk(cfg: SVIConfig, nsteps: int):
+def make_run_chunk(cfg: SVIConfig, nsteps: int, l_sample: int | None = None):
     """jit-compiled runner of `nsteps` SVI steps (one host sync per chunk)."""
-    step = make_step(cfg)
+    step = make_step(cfg, l_sample)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_chunk(state: SVIState, packed) -> SVIState:

@@ -1,0 +1,104 @@
+"""Pallas kernel correctness vs the dense reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from terastructure_tpu.config import SVIConfig
+from terastructure_tpu.data import GenotypeData, simulate_psd
+from terastructure_tpu.data.pack import pack2bit, unpack2bit_jnp
+from terastructure_tpu.ops import stats_dense as ops
+from terastructure_tpu.ops import stats_pallas as pk
+from terastructure_tpu.svi import engine
+
+
+def _problem(b=16, n=512, k=3, seed=0, missing=True):
+    rng = np.random.default_rng(seed)
+    hi = 4 if missing else 3
+    x = rng.integers(0, hi, size=(b, n)).astype(np.int8)   # (B, N)
+    rows = jnp.asarray(pack2bit(x))
+    gamma = jnp.asarray(rng.uniform(0.3, 3.0, size=(n, k)), jnp.float32)
+    lamb_b = jnp.asarray(rng.uniform(0.5, 4.0, size=(b, k, 2)), jnp.float32)
+    return x, rows, gamma, lamb_b
+
+
+def test_planar_roundtrip():
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+    planes = pk.u_to_planes(u)
+    assert planes.shape == (4, 16, 3)
+    np.testing.assert_array_equal(np.asarray(planes[1, 2]), np.asarray(u[9]))
+    np.testing.assert_array_equal(
+        np.asarray(pk.planes_to_flat(planes)), np.asarray(u))
+
+
+def test_lambda_stats_match_dense():
+    x, rows, gamma, lamb_b = _problem()
+    u = ops.exp_elog_theta(gamma)
+    t1, t0 = ops.exp_elog_beta(lamb_b)
+    a1, a0 = ops.allele_counts(jnp.asarray(x), jnp.float32)
+    want0, want1 = ops.lambda_stats(a1, a0, u, t1, t0)
+
+    tb, tw = pk.pick_tiles(*rows.shape)
+    l0, l1 = pk.lambda_stats_packed(
+        rows, pk.u_to_planes(u), t1, t0, tb=tb, tw=tw,
+        dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(t1 * l0), np.asarray(want0),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t0 * l1), np.asarray(want1),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_batch_stats_match_dense():
+    x, rows, gamma, lamb_b = _problem(b=24, n=1024, k=4, seed=2)
+    u = ops.exp_elog_theta(gamma)
+    t1, t0 = ops.exp_elog_beta(lamb_b)
+    a1, a0 = ops.allele_counts(jnp.asarray(x), jnp.float32)
+    want = ops.batch_stats(a1, a0, u, t1, t0)
+
+    tb, tw = pk.pick_tiles(*rows.shape)
+    g, l0, l1 = pk.batch_stats_packed(
+        rows, u, t1, t0, tb=tb, tw=tw, dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want.gamma_stat),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(want.lam0_stat),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(want.lam1_stat),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_full_step_pallas_vs_dense():
+    """End-to-end engine step: pallas impl == dense impl (f32, ragged N/B)."""
+    n, l, k = 333, 64, 3                       # ragged N on purpose
+    _, _, xd = simulate_psd(n, l, k, seed=3, missing_frac=0.05)
+    data = GenotypeData.from_dense(xd, validation_frac=0, heldout_frac=0, seed=3)
+    packed = jnp.asarray(data.packed)
+
+    cfg_d = SVIConfig(n=n, l=l, k=k, batch_size=20, seed=3, kernel="dense")
+    cfg_p = cfg_d.replace(kernel="pallas")
+    s0 = engine.init_state(cfg_d)
+
+    sd = engine.make_step(cfg_d)(s0, packed)
+
+    # pallas path (interpret on CPU)
+    kb = jax.random.fold_in(s0.key, s0.t)
+    idx = engine._sample_batch(kb, l, 20)
+    rows = packed[idx]
+    new_lamb_b, gamma_stat = engine.step_core_packed(
+        cfg_p, s0.gamma, rows, s0.lamb[idx], interpret=True)
+    lp = s0.lamb.at[idx].set(new_lamb_b)
+    gp = engine._global_update(cfg_p, s0.gamma, gamma_stat, s0.t, l)
+
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(sd.gamma),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(sd.lamb),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_pick_tiles_errors():
+    with pytest.raises(ValueError):
+        pk.pick_tiles(7, 128)
+    with pytest.raises(ValueError):
+        pk.pick_tiles(16, 100)
+    assert pk.pick_tiles(1024, 640) == (256, 128)

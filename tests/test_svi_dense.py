@@ -115,3 +115,36 @@ def test_validation_ll_improves(rng):
     state = chunk(state, packed)
     ll1 = float(engine.entry_loglik(state.gamma, state.lamb, *args))
     assert ll1 > ll0, (ll0, ll1)
+
+
+def test_group_sampling_consistency(rng):
+    """Grouped gather returns the same rows/lamb as direct indexing and
+    the scatter writes exactly the sampled rows."""
+    import jax
+    from terastructure_tpu.svi.engine import _gather_batch
+
+    n, l, k, b, g = 16, 512, 3, 32, 8
+    # force grouped path: l must exceed the small-L threshold -> fake it by
+    # calling the internals with a large l_sample on a padded lamb/packed
+    l_big = 131072
+    _, _, x = simulate_psd(n, l, k, seed=8)
+    packed_small = GenotypeData.from_dense(x, validation_frac=0,
+                                           heldout_frac=0, seed=8).packed
+    reps = l_big // l
+    packed = jnp.asarray(np.tile(packed_small, (reps, 1)))
+    lamb = jnp.asarray(
+        rng.uniform(0.5, 2.0, size=(l_big, k, 2)).astype(np.float32))
+    cfg = SVIConfig(n=n, l=l_big, k=k, batch_size=b, snp_group=g, seed=8)
+    key = jax.random.PRNGKey(0)
+    idx, rows, lamb_b, scatter = _gather_batch(cfg, packed, lamb, key, l_big)
+    assert idx.shape == (b,)
+    # groups of g consecutive SNPs
+    idx_np = np.asarray(idx).reshape(b // g, g)
+    assert (np.diff(idx_np, axis=1) == 1).all()
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(packed)[idx_np.reshape(-1)])
+    np.testing.assert_allclose(np.asarray(lamb_b), np.asarray(lamb)[idx_np.reshape(-1)])
+    new = lamb_b + 1.0
+    lamb2 = scatter(lamb, new)
+    np.testing.assert_allclose(np.asarray(lamb2[idx]), np.asarray(new))
+    mask = np.ones(l_big, bool); mask[np.asarray(idx)] = False
+    np.testing.assert_allclose(np.asarray(lamb2)[mask], np.asarray(lamb)[mask])
