@@ -49,6 +49,16 @@ def _add_svi_args(p):
     p.add_argument("--out-base", default=".", help="where to create the run dir")
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--kernel", default="auto",
+                   choices=["auto", "fused", "pallas", "dense"])
+    p.add_argument("--lambda-mode", default="local",
+                   choices=["local", "stored"],
+                   help="local: lambda recomputed on demand (fast); "
+                        "stored: reference-style warm start + scatter")
+    p.add_argument("--ind-shards", type=int, default=0,
+                   help="mesh axis over individuals (hosts); 0 = auto")
+    p.add_argument("--snp-shards", type=int, default=0,
+                   help="mesh axis over SNPs (chips); 0 = auto")
     p.add_argument("--force-cpu", action="store_true",
                    help="run on CPU (tests/debug)")
 
@@ -140,6 +150,8 @@ def cmd_fit(args):
         validation_frac=args.validation_frac,
         heldout_frac=args.heldout_frac,
         compute_dtype=args.compute_dtype,
+        kernel=args.kernel, lambda_mode=args.lambda_mode,
+        ind_shards=args.ind_shards, snp_shards=args.snp_shards,
         seed=args.seed, label=args.label,
     )
     run_dir = _setup_run_dir(cfg0, args.out_base)
@@ -156,7 +168,16 @@ def cmd_fit(args):
             run_dir, f"replicate-s{seed}")
         os.makedirs(sub, exist_ok=True)
         log.info("fitting seed=%d -> %s", seed, sub)
-        res = fit(cfg, data, metrics_path=os.path.join(sub, "metrics.jsonl"))
+        import jax
+
+        if args.ind_shards or args.snp_shards or len(jax.devices()) > 1:
+            from terastructure_tpu.parallel import fit_sharded
+
+            res = fit_sharded(
+                cfg, data, metrics_path=os.path.join(sub, "metrics.jsonl"))
+        else:
+            res = fit(cfg, data,
+                      metrics_path=os.path.join(sub, "metrics.jsonl"))
         log.info(
             "seed=%d converged=%s steps=%d validation_ll=%.6f heldout_ll=%s",
             seed, res.converged, res.steps, res.validation_ll,

@@ -73,9 +73,22 @@ class SVIConfig:
     compute_dtype: str = "float32"
 
     # Hot-loop implementation: "dense" (jnp matmuls, materializes (B, N)
-    # intermediates), "pallas" (fused in-VMEM unpack kernels,
-    # ops/stats_pallas.py), or "auto" (pallas on TPU, dense elsewhere).
+    # intermediates), "pallas" (per-iteration fused kernels,
+    # ops/stats_pallas.py), "fused" (one kernel per step with in-kernel
+    # row DMA, ops/fused_step.py), or "auto" (fused on TPU when the
+    # shape fits its VMEM budget, else pallas on TPU, dense elsewhere).
     kernel: str = "auto"
+
+    # Lambda handling. "local" (default, TPU-native): lambda is treated
+    # as the local variable it is (SURVEY.md §1.2) — each minibatch's
+    # coordinate ascent cold-starts from the Beta prior, nothing is
+    # gathered/scattered from the (L, K, 2) array during stepping (that
+    # HBM traffic is latency-bound, ~1.4 ms/step at L=1M), and
+    # validation/export lambdas are recomputed from the current gamma on
+    # demand (always-converged — slightly better-calibrated heldout
+    # scores). "stored": reference-style — warm-start from and scatter
+    # back into the stored lambda array every step.
+    lambda_mode: str = "local"
 
     # Init scale for gamma (reference inits gamma from a gsl rng [MED]).
     gamma_init_scale: float = 0.1

@@ -1,0 +1,234 @@
+"""One-kernel-per-step fused SVI local solve — the flagship TPU kernel.
+
+Design: at per-chip batch scale the ENTIRE local problem fits in VMEM
+(packed rows B*W bytes, u_planes 4*W*K f32, lambda_B B*K*2 f32), so one
+Pallas program per SVI step can:
+
+  1. DMA the B sampled genotype rows straight out of the HBM-resident
+     packed matrix (row indices arrive via scalar prefetch — no XLA
+     gather, which is latency-bound at ~0.6 us/row on v5e);
+  2. run the whole phi<->lambda coordinate-ascent loop on-chip
+     (digamma included — see `digamma` below), tiling the (B, 4W)
+     mixture-denominator work over W so temporaries stay ~2 MB;
+  3. emit the converged lambda_B and the planar gamma statistics.
+
+vs the per-iteration kernels (stats_pallas.py) this removes the XLA
+lambda gather/scatter (~1.4 ms/step at L=1M) and ~16 rounds of kernel
+launch + small-op glue (~70 us/iter measured). The per-iteration path
+remains for shapes whose rows exceed the VMEM budget.
+
+Cold start: lambda_B initializes from the Beta prior inside the kernel —
+lambda is a *local* variable of the sampled SNPs (SURVEY.md §1.2; the
+stored-lambda warm start is an engine option handled outside).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for the resident genotype rows (bytes).
+ROWS_VMEM_BUDGET = 4 * 1024 * 1024
+
+
+def digamma(x):
+    """Vector digamma for x > 0, accurate to ~1e-6 (f32).
+
+    Recurrence-shift to x >= 6 (eight unrolled conditional shifts cover
+    x >= 0.01 after the worst case) followed by the asymptotic series.
+    Implemented with primitives Mosaic supports inside kernels.
+    """
+    acc = jnp.zeros_like(x)
+    for _ in range(8):
+        small = x < 6.0
+        acc = acc - jnp.where(small, 1.0 / x, 0.0)
+        x = jnp.where(small, x + 1.0, x)
+    inv = 1.0 / x
+    inv2 = inv * inv
+    series = (
+        jnp.log(x) - 0.5 * inv
+        - inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0))
+    )
+    return acc + series
+
+
+def _exp_elog_beta_inkernel(lam0, lam1):
+    tot = digamma(lam0 + lam1)
+    return jnp.exp(digamma(lam0) - tot), jnp.exp(digamma(lam1) - tot)
+
+
+def _plane_counts(bytes_blk, s, dtype):
+    x = (bytes_blk.astype(jnp.int32) >> (2 * s)) & 0x3
+    missing = x == 3
+    xf = x.astype(jnp.float32)
+    a1 = jnp.where(missing, 0.0, xf).astype(dtype)
+    a0 = jnp.where(missing, 0.0, 2.0 - xf).astype(dtype)
+    return a1, a0
+
+
+def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
+                 dtype, warm_start):
+    """Kernel body. Refs:
+    idx_ref (B,) SMEM [scalar prefetch];
+    packed_hbm (L, W) ANY; up_ref (4, W, K) VMEM;
+    lamb_init_ref (B, K, 2) VMEM [warm start; ignored when cold];
+    out: lamb_ref (B, K, 2), g_ref (4, W, K);
+    scratch: rows (B, W) VMEM uint8, sem.
+    """
+    n_wt = w // tw
+    eps = 1e-30
+
+    def kernel(idx_ref, packed_hbm, up_ref, lamb_init_ref,
+               lamb_ref, g_ref, rows_ref, sem):
+        # --- 1. gather rows via pipelined per-row DMA --------------------
+        def issue(i, _):
+            pltpu.make_async_copy(
+                packed_hbm.at[idx_ref[i]], rows_ref.at[i], sem,
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, b, issue, 0)
+
+        def drain(i, _):
+            pltpu.make_async_copy(
+                packed_hbm.at[idx_ref[i]], rows_ref.at[i], sem,
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, b, drain, 0)
+
+        # --- 2. coordinate ascent, lambda resident in registers/VMEM ----
+        if warm_start:
+            lam0_init = lamb_init_ref[:, :, 0]
+            lam1_init = lamb_init_ref[:, :, 1]
+        else:
+            lam0_init = jnp.full((b, k), beta_a, jnp.float32)
+            lam1_init = jnp.full((b, k), beta_b, jnp.float32)
+
+        def one_pass(t1, t0, need_g):
+            """Sweep planes x W-tiles; returns (l0raw, l1raw) and writes
+            g partials when need_g (python-static)."""
+            acc0 = jnp.zeros((b, k), jnp.float32)
+            acc1 = jnp.zeros((b, k), jnp.float32)
+            t1d = t1.astype(dtype)
+            t0d = t0.astype(dtype)
+            for wt in range(n_wt):
+                blk = rows_ref[:, wt * tw:(wt + 1) * tw]
+                for s in range(4):
+                    u_s = up_ref[s, wt * tw:(wt + 1) * tw, :].astype(dtype)
+                    a1, a0 = _plane_counts(blk, s, dtype)
+                    d1 = jax.lax.dot_general(
+                        t1d, u_s, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    d0 = jax.lax.dot_general(
+                        t0d, u_s, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    r1 = (a1.astype(jnp.float32) / (d1 + eps)).astype(dtype)
+                    r0 = (a0.astype(jnp.float32) / (d0 + eps)).astype(dtype)
+                    acc0 = acc0 + jnp.dot(
+                        r1, u_s, preferred_element_type=jnp.float32)
+                    acc1 = acc1 + jnp.dot(
+                        r0, u_s, preferred_element_type=jnp.float32)
+                    if need_g:
+                        g_ref[s, wt * tw:(wt + 1) * tw, :] += (
+                            jax.lax.dot_general(
+                                r1, t1d, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                            + jax.lax.dot_general(
+                                r0, t0d, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        )
+            return acc0, acc1
+
+        def cond(carry):
+            _, _, it, delta = carry
+            return jnp.logical_and(it < local_iters, delta > local_tol)
+
+        def body(carry):
+            lam0, lam1, it, _ = carry
+            t1, t0 = _exp_elog_beta_inkernel(lam0, lam1)
+            l0, l1 = one_pass(t1, t0, need_g=False)
+            new0 = beta_a + t1 * l0
+            new1 = beta_b + t0 * l1
+            denom = (jnp.sum(jnp.abs(lam0)) + jnp.sum(jnp.abs(lam1))) / (
+                2.0 * b * k) + 1.0
+            delta = (jnp.sum(jnp.abs(new0 - lam0)) + jnp.sum(
+                jnp.abs(new1 - lam1))) / (2.0 * b * k) / denom
+            return new0, new1, it + 1, delta
+
+        lam0, lam1, _, _ = jax.lax.while_loop(
+            cond, body, (lam0_init, lam1_init, jnp.int32(0),
+                         jnp.float32(jnp.inf)))
+
+        # --- 3. final pass: gamma statistics + final lambda -------------
+        g_ref[:] = jnp.zeros_like(g_ref)
+        t1, t0 = _exp_elog_beta_inkernel(lam0, lam1)
+        l0, l1 = one_pass(t1, t0, need_g=True)
+        lamb_ref[:, :, 0] = beta_a + t1 * l0
+        lamb_ref[:, :, 1] = beta_b + t0 * l1
+
+    return kernel
+
+
+def supports(b: int, w: int) -> bool:
+    """Whether the fused kernel's VMEM-resident design fits this shape."""
+    return b * w <= ROWS_VMEM_BUDGET and w % 128 == 0 and b % 8 == 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("local_iters", "local_tol", "beta_a", "beta_b",
+                     "dtype", "warm_start", "interpret"))
+def fused_local_solve(idx, packed, u_planes, lamb_init, *,
+                      local_iters, local_tol, beta_a, beta_b,
+                      dtype=jnp.bfloat16, warm_start=False,
+                      interpret=False):
+    """Run the fused step kernel.
+
+    idx: (B,) int32 row indices into packed (L, W) uint8 (HBM-resident).
+    u_planes: (4, W, K) f32. lamb_init: (B, K, 2) f32 (used iff
+    warm_start). Returns (new_lamb_b (B,K,2) f32, g_planes (4,W,K) f32).
+    """
+    b = idx.shape[0]
+    _, w = packed.shape
+    k = u_planes.shape[-1]
+    if not supports(b, w):
+        raise ValueError(f"fused kernel unsupported for B={b}, W={w}")
+    tw = 512 if w % 512 == 0 else (256 if w % 256 == 0 else 128)
+
+    kernel = _make_kernel(
+        b=b, w=w, k=k, tw=tw, local_iters=local_iters,
+        local_tol=local_tol, beta_a=beta_a, beta_b=beta_b, dtype=dtype,
+        warm_start=warm_start)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),         # packed stays HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # u_planes
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # lamb_init
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, w), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    lamb_b, g = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k, 2), jnp.float32),
+            jax.ShapeDtypeStruct((4, w, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(idx, packed, u_planes, lamb_init)
+    return lamb_b, g

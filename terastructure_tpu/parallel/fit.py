@@ -1,0 +1,48 @@
+"""Turnkey multi-device fit: mesh construction + sharded chunk runner
+plugged into the standard convergence driver.
+
+Single entry point for pod-scale runs:
+
+    from terastructure_tpu.parallel import fit_sharded
+    res = fit_sharded(cfg, data)            # mesh auto from jax.devices()
+
+Multi-host: call jax.distributed.initialize() first (see
+parallel/multihost.py); every host runs the same program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from terastructure_tpu.config import SVIConfig
+from terastructure_tpu.data.dataset import GenotypeData
+from terastructure_tpu.parallel import mesh as meshlib
+from terastructure_tpu.parallel import sharded
+from terastructure_tpu.svi import driver
+
+
+def fit_sharded(
+    cfg: SVIConfig,
+    data: GenotypeData,
+    *,
+    mesh: Optional[object] = None,
+    **fit_kw,
+) -> driver.FitResult:
+    """fit() over a (ind x snp) device mesh (defaults to all devices on
+    the 'snp' axis; set cfg.ind_shards/cfg.snp_shards to control)."""
+    if mesh is None:
+        spec = meshlib.choose_mesh_shape(
+            len(jax.devices()), cfg.ind_shards, cfg.snp_shards)
+        mesh = meshlib.make_mesh(spec)
+    plan, packed = sharded.prepare(cfg, data, mesh)
+    state = sharded.init_sharded_state(cfg, plan, mesh)
+
+    def factory(cfg_, nsteps, l_sample):
+        assert l_sample == plan.l_padded
+        return sharded.make_sharded_run_chunk(cfg_, plan, mesh, nsteps)
+
+    return driver.fit(
+        cfg, data, state=state, step_fn_factory=factory, packed=packed,
+        **fit_kw)

@@ -113,17 +113,62 @@ def _unpack_local(rows, n_local):
 
 
 def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
-    """Build the shard_map'ed step: (state, packed) -> state."""
+    """Build the shard_map'ed step: (state, packed) -> state.
+
+    Kernel selection per shard: when the 'ind' axis is unsharded
+    (ind == 1, the single-host case — individuals shard across *hosts*)
+    the lambda statistics need no cross-shard reduction, so the fused
+    one-kernel-per-step path (ops/fused_step.py) applies whole; with
+    ind > 1 each coordinate-ascent iteration psums over 'ind' and the
+    per-iteration dense path runs. lambda_mode='local' skips the stored
+    lambda gather/scatter entirely (cold start from the prior).
+    """
+    from terastructure_tpu.ops import fused_step
+    from terastructure_tpu.ops import stats_pallas as pk
+
     b_local = plan.batch_per_shard
     l_local = plan.l_padded // plan.snp
     dtype = jnp.dtype(cfg.compute_dtype)
     psum_ind = functools.partial(jax.lax.psum, axis_name=IND_AXIS)
+    local_mode = cfg.lambda_mode == "local"
+    interpret = jax.default_backend() != "tpu"
+    want_fused = (
+        plan.ind == 1
+        and cfg.kernel in ("auto", "fused")
+        and jax.default_backend() == "tpu"
+    )
 
     def local_step(gamma_l, lamb_l, packed_l, t, key):
         # gamma_l: (N/I, K)  lamb_l: (L/S, K, 2)  packed_l: (L/S, W/I)
         s_idx = jax.lax.axis_index(SNP_AXIS)
         kb = jax.random.fold_in(jax.random.fold_in(key, t), s_idx)
         idx = jax.random.randint(kb, (b_local,), 0, l_local, dtype=jnp.int32)
+        wl = packed_l.shape[1]
+
+        if want_fused and fused_step.supports(b_local, wl):
+            u = ops.exp_elog_theta(gamma_l)
+            if u.shape[0] != 4 * wl:
+                u = jnp.pad(u, ((0, 4 * wl - u.shape[0]), (0, 0)),
+                            constant_values=1.0)
+            lamb_init = (jnp.zeros((b_local, cfg.k, 2), jnp.float32)
+                         if local_mode else lamb_l[idx])
+            kdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                      else jnp.float32)
+            new_lamb_b, g = fused_step.fused_local_solve(
+                idx, packed_l, pk.u_to_planes(u), lamb_init,
+                local_iters=cfg.local_iters, local_tol=cfg.local_tol,
+                beta_a=cfg.beta_a, beta_b=cfg.beta_b, dtype=kdtype,
+                warm_start=not local_mode, interpret=interpret)
+            gamma_stat = (u * pk.planes_to_flat(g))[: gamma_l.shape[0]]
+            if not local_mode:
+                lamb_l = lamb_l.at[idx].set(new_lamb_b)
+            gamma_stat = jax.lax.psum(gamma_stat, axis_name=SNP_AXIS)
+            rho = jnp.asarray(cfg.rho(t.astype(jnp.float32)), jnp.float32)
+            scale = jnp.float32(plan.l_padded) / jnp.float32(cfg.batch_size)
+            gamma_l = (1.0 - rho) * gamma_l + rho * (
+                cfg.alpha_value + scale * gamma_stat
+            )
+            return gamma_l, lamb_l
 
         rows = packed_l[idx]                            # (B_l, W/I)
         xb = _unpack_local(rows, rows.shape[1] * 4)     # (B_l, N/I)
@@ -131,8 +176,15 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
         a1, a0 = ops.allele_counts(xb, jnp.float32)
         u = ops.exp_elog_theta(gamma_l)
 
+        lamb_b0 = (
+            jnp.stack(
+                [jnp.full((b_local, cfg.k), cfg.beta_a, jnp.float32),
+                 jnp.full((b_local, cfg.k), cfg.beta_b, jnp.float32)],
+                axis=-1)
+            if local_mode else lamb_l[idx]
+        )
         lamb_b = ops.local_solve(
-            a1, a0, u, lamb_l[idx],
+            a1, a0, u, lamb_b0,
             beta_a=cfg.beta_a, beta_b=cfg.beta_b,
             local_iters=cfg.local_iters, local_tol=cfg.local_tol,
             dtype=dtype, ind_reduce=psum_ind,
@@ -140,10 +192,12 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
         t1, t0 = ops.exp_elog_beta(lamb_b)
         stats = ops.batch_stats(a1, a0, u, t1, t0, dtype, ind_reduce=psum_ind)
 
-        new_lamb_b = jnp.stack(
-            [cfg.beta_a + stats.lam0_stat, cfg.beta_b + stats.lam1_stat], axis=-1
-        )
-        lamb_l = lamb_l.at[idx].set(new_lamb_b)
+        if not local_mode:
+            new_lamb_b = jnp.stack(
+                [cfg.beta_a + stats.lam0_stat,
+                 cfg.beta_b + stats.lam1_stat], axis=-1
+            )
+            lamb_l = lamb_l.at[idx].set(new_lamb_b)
 
         gamma_stat = jax.lax.psum(stats.gamma_stat, axis_name=SNP_AXIS)
         rho = jnp.asarray(cfg.rho(t.astype(jnp.float32)), jnp.float32)

@@ -17,6 +17,7 @@ import time
 from typing import Callable, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from terastructure_tpu.config import SVIConfig
@@ -43,30 +44,52 @@ def fit(
     *,
     state: Optional[engine.SVIState] = None,
     step_fn_factory: Optional[Callable] = None,
+    packed=None,
     metrics_path: Optional[str] = None,
     callback: Optional[Callable[[dict], None]] = None,
 ) -> FitResult:
     """Run SVI until convergence or cfg.max_steps.
 
-    `step_fn_factory(cfg, nsteps)` lets the sharded path (parallel/sharded)
-    substitute its own chunk runner while reusing this convergence logic.
+    `step_fn_factory(cfg, nsteps, l_sample)` lets the sharded path
+    (parallel/) substitute its own chunk runner while reusing this
+    convergence logic; `packed` may be a pre-sharded device array
+    (otherwise the host matrix is width-padded and device_put here).
     """
     assert cfg.n == data.n and cfg.l == data.l, "config/data shape mismatch"
-    packed = jax.device_put(np.asarray(data.packed))
+    packed_host = np.asarray(data.packed)
+    # Pad the byte-width to 128 once on the host: required by the fused
+    # kernel, harmless elsewhere (padding decodes as MISSING).
+    wpad = (-packed_host.shape[1]) % 128
+    if wpad:
+        packed_host = np.pad(packed_host, ((0, 0), (0, wpad)),
+                             constant_values=0xFF)
+    if packed is None:
+        packed = jax.device_put(packed_host)
     if state is None:
-        state = engine.init_state(cfg, l_padded=data.packed.shape[0])
+        state = engine.init_state(cfg, l_padded=packed.shape[0])
 
     factory = step_fn_factory or engine.make_run_chunk
-    run_chunk = factory(cfg, cfg.rfreq, int(data.packed.shape[0]))
+    run_chunk = factory(cfg, cfg.rfreq, int(packed.shape[0]))
 
-    val = data.validation
-    val_args = None
-    if val is not None and len(val):
-        val_args = (
-            jax.device_put(val.ind_idx),
-            jax.device_put(val.snp_idx),
-            jax.device_put(val.x),
-        )
+    local_mode = cfg.lambda_mode == "local"
+
+    def make_scorer(es):
+        """(state -> mean ll) for an entry set, honoring lambda_mode."""
+        if es is None or not len(es):
+            return None
+        if local_mode:
+            uniq, inv = np.unique(es.snp_idx, return_inverse=True)
+            f = engine.make_entry_loglik_recompute(
+                cfg, packed_host[uniq], inv.astype(np.int32),
+                es.ind_idx, es.x)
+            return lambda st: float(f(st.gamma))
+        i = jax.device_put(es.ind_idx)
+        j = jax.device_put(es.snp_idx)
+        xv = jax.device_put(es.x)
+        return lambda st: float(engine.entry_loglik(st.gamma, st.lamb,
+                                                    i, j, xv))
+
+    val_scorer = make_scorer(data.validation)
 
     trace: List[dict] = []
     best_ll = -np.inf
@@ -84,8 +107,8 @@ def fit(
                 "wall_s": round(time.time() - t0, 3),
                 "rho": float(cfg.rho(float(steps_done))),
             }
-            if val_args is not None:
-                ll = float(engine.entry_loglik(state.gamma, state.lamb, *val_args))
+            if val_scorer is not None:
+                ll = val_scorer(state)
                 rec["validation_ll"] = ll
                 if not np.isfinite(ll):
                     log.error("validation ll is not finite at step %d", steps_done)
@@ -110,16 +133,20 @@ def fit(
         if mfile:
             mfile.close()
 
-    held_ll = None
-    if data.heldout is not None and len(data.heldout):
-        held_ll = float(
-            engine.entry_loglik(
-                state.gamma, state.lamb,
-                jax.device_put(data.heldout.ind_idx),
-                jax.device_put(data.heldout.snp_idx),
-                jax.device_put(data.heldout.x),
-            )
-        )
+    if local_mode:
+        # Materialize the full converged lambda for export/checkpoint/
+        # heldout (lambda is derived state in this mode).
+        from terastructure_tpu.svi.postprocess import compute_lambda
+
+        lamb_full = compute_lambda(cfg, state.gamma[: cfg.n], packed)
+        lamb_state = state.lamb
+        if lamb_state.shape[0] > cfg.l:
+            lamb_full = jnp.concatenate(
+                [lamb_full, lamb_state[cfg.l:]], axis=0)
+        state = state._replace(lamb=lamb_full)
+
+    held_scorer = make_scorer(data.heldout)
+    held_ll = held_scorer(state) if held_scorer is not None else None
     return FitResult(
         state=state,
         trace=trace,

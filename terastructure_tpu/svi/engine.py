@@ -121,7 +121,7 @@ def _gather_batch(cfg: SVIConfig, packed, lamb, key, l_sample):
 def _resolve_kernel(cfg: SVIConfig) -> str:
     if cfg.kernel != "auto":
         return cfg.kernel
-    return "pallas" if jax.default_backend() == "tpu" else "dense"
+    return "fused" if jax.default_backend() == "tpu" else "dense"
 
 
 def step_core_packed(cfg: SVIConfig, gamma, rows, lamb_b, *,
@@ -218,21 +218,63 @@ def make_step(cfg: SVIConfig, l_sample: int | None = None):
     l_sample: the SNP range to sample over — pass the padded row count
     when the packed matrix has padding rows (defaults to cfg.l).
     """
-    impl = _resolve_kernel(cfg)
+    impl_req = _resolve_kernel(cfg)
     interpret = jax.default_backend() != "tpu"
     l_s = l_sample or cfg.l
+    local_mode = cfg.lambda_mode == "local"
 
     def step(state: SVIState, packed) -> SVIState:
+        from terastructure_tpu.ops import fused_step
+
         gamma, lamb, t, key = state
         kb = jax.random.fold_in(key, t)
-        idx, rows, lamb_b, scatter = _gather_batch(cfg, packed, lamb, kb, l_s)
-        if impl == "pallas":
-            new_lamb_b, gamma_stat = step_core_packed(
-                cfg, gamma, rows, lamb_b, interpret=interpret)
+        b = cfg.batch_size
+        w = packed.shape[1]
+        impl = impl_req
+        if impl == "fused" and not fused_step.supports(b, w):
+            impl = "pallas"
+
+        if impl == "fused":
+            idx = _sample_batch(kb, l_s, b)
+            from terastructure_tpu.ops import stats_pallas as pk
+
+            u = ops.exp_elog_theta(gamma)
+            if u.shape[0] != 4 * w:
+                u = jnp.pad(u, ((0, 4 * w - u.shape[0]), (0, 0)),
+                            constant_values=1.0)
+            lamb_init = (jnp.zeros((b, cfg.k, 2), jnp.float32)
+                         if local_mode else lamb[idx])
+            dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+            new_lamb_b, g = fused_step.fused_local_solve(
+                idx, packed, pk.u_to_planes(u), lamb_init,
+                local_iters=cfg.local_iters, local_tol=cfg.local_tol,
+                beta_a=cfg.beta_a, beta_b=cfg.beta_b, dtype=dtype,
+                warm_start=not local_mode, interpret=interpret)
+            gamma_stat = (u * pk.planes_to_flat(g))[: gamma.shape[0]]
+            if not local_mode:
+                lamb = lamb.at[idx].set(new_lamb_b)
         else:
-            xb = unpack2bit_jnp(rows, cfg.n)     # (B, N) int8
-            new_lamb_b, gamma_stat = step_core_dense(cfg, gamma, xb, lamb_b)
-        lamb = scatter(lamb, new_lamb_b)
+            if local_mode:
+                idx = _sample_batch(kb, l_s, b)
+                rows = packed[idx]
+                lamb_b = jnp.stack(
+                    [jnp.full((b, cfg.k), cfg.beta_a, jnp.float32),
+                     jnp.full((b, cfg.k), cfg.beta_b, jnp.float32)],
+                    axis=-1)
+                scatter = None
+            else:
+                idx, rows, lamb_b, scatter = _gather_batch(
+                    cfg, packed, lamb, kb, l_s)
+            if impl == "pallas":
+                new_lamb_b, gamma_stat = step_core_packed(
+                    cfg, gamma, rows, lamb_b, interpret=interpret)
+            else:
+                xb = unpack2bit_jnp(rows, cfg.n)     # (B, N) int8
+                new_lamb_b, gamma_stat = step_core_dense(
+                    cfg, gamma, xb, lamb_b)
+            if scatter is not None:
+                lamb = scatter(lamb, new_lamb_b)
         gamma = _global_update(cfg, gamma, gamma_stat, t, l_s)
         return SVIState(gamma=gamma, lamb=lamb, t=t + 1, key=key)
 
@@ -258,3 +300,36 @@ def entry_loglik(gamma, lamb, ind_idx, snp_idx, x):
     heldout) — the reference `compute_likelihood` (SURVEY.md §3.3)."""
     ll = psd.predictive_loglik(gamma, lamb, ind_idx, snp_idx, x)
     return jnp.mean(ll)
+
+
+def make_entry_loglik_recompute(cfg: SVIConfig, eval_rows, row_of_entry,
+                                ind_idx, x):
+    """Eval scorer for the 'local' lambda mode.
+
+    eval_rows: (S, W) packed genotype rows of the distinct eval SNPs
+    (training matrix — eval entries are MISSING there, no leakage);
+    row_of_entry: (M,) index into eval_rows per entry. Returns a jitted
+    gamma -> mean log-lik function that re-solves those SNPs' lambdas
+    from the current gamma (always-converged plug-in predictive).
+    """
+    from terastructure_tpu.svi.postprocess import solve_lambda_blocks
+
+    eval_rows = jnp.asarray(eval_rows)
+    row_of_entry = jnp.asarray(row_of_entry)
+    ind_idx = jnp.asarray(ind_idx)
+    x = jnp.asarray(x)
+    w = eval_rows.shape[1]
+
+    @jax.jit
+    def f(gamma):
+        u = ops.exp_elog_theta(gamma)
+        if u.shape[0] != 4 * w:
+            u = jnp.pad(u, ((0, 4 * w - u.shape[0]), (0, 0)),
+                        constant_values=1.0)
+        lamb_eval = solve_lambda_blocks(cfg, u, eval_rows, block=1024)
+        beta = psd.beta_mean(lamb_eval)                 # (S, K)
+        th = psd.theta_mean(gamma[ind_idx])             # (M, K)
+        p = jnp.sum(th * beta[row_of_entry], axis=-1)
+        return jnp.mean(psd.binomial2_loglik(x, p))
+
+    return f

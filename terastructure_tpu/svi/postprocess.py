@@ -5,6 +5,9 @@ converged run's theta and, for each SNP j, runs the local phi/lambda fit
 with theta fixed, writing beta.txt. Here it is a lax.map over SNP blocks
 reusing the same local_solve kernel — embarrassingly parallel on the SNP
 axis (shard over 'snp' for multi-chip).
+
+`solve_lambda_blocks` is the shared core: it also powers the "local"
+lambda mode's on-demand eval/export recomputation (svi/driver.py).
 """
 
 from __future__ import annotations
@@ -19,31 +22,25 @@ from terastructure_tpu.models import psd
 from terastructure_tpu.ops import stats_dense as ops
 
 
-def compute_beta(
-    cfg: SVIConfig,
-    gamma,
-    packed,
-    *,
-    block: int = 1024,
-) -> np.ndarray:
-    """Final beta estimates (L, K) given converged gamma (N, K).
+def solve_lambda_blocks(cfg: SVIConfig, u, packed_rows, *,
+                        block: int = 1024):
+    """Converged lambda for each packed row given fixed u = expElogtheta.
 
-    `packed` is the training matrix uint8 (L_padded, W); rows beyond
-    cfg.l are ignored. Returns beta posterior means.
+    u: (N', K) where N' = 4 * packed_rows.shape[1] (caller pads);
+    packed_rows: (S, W) uint8. Returns lamb (S, K, 2) f32 (jnp).
+    Rows are processed in fixed-size blocks under one jitted lax.map.
     """
-    n = cfg.n
-    u = ops.exp_elog_theta(jnp.asarray(gamma))
-    lp = packed.shape[0]
-    nblocks = (lp + block - 1) // block
-    pad_rows = nblocks * block - lp
-    if pad_rows:
-        packed = jnp.concatenate(
-            [jnp.asarray(packed),
-             jnp.full((pad_rows, packed.shape[1]), 0xFF, jnp.uint8)]
-        )
+    n = u.shape[0]
+    s, w = packed_rows.shape
+    nblocks = (s + block - 1) // block
+    pad = nblocks * block - s
+    if pad:
+        packed_rows = jnp.concatenate(
+            [jnp.asarray(packed_rows),
+             jnp.full((pad, w), 0xFF, jnp.uint8)])
     else:
-        packed = jnp.asarray(packed)
-    blocks = packed.reshape(nblocks, block, packed.shape[1])
+        packed_rows = jnp.asarray(packed_rows)
+    blocks = packed_rows.reshape(nblocks, block, w)
 
     dtype = jnp.dtype(cfg.compute_dtype)
     lamb0 = jnp.stack(
@@ -52,7 +49,6 @@ def compute_beta(
         axis=-1,
     )
 
-    @jax.jit
     def solve_block(rows):
         xb = unpack2bit_jnp(rows, n)
         a1, a0 = ops.allele_counts(xb, jnp.float32)
@@ -64,11 +60,28 @@ def compute_beta(
         )
         t1, t0 = ops.exp_elog_beta(lam)
         stats = ops.batch_stats(a1, a0, u, t1, t0, dtype)
-        lam = jnp.stack(
+        return jnp.stack(
             [cfg.beta_a + stats.lam0_stat, cfg.beta_b + stats.lam1_stat],
             axis=-1,
         )
-        return psd.beta_mean(lam)
 
-    out = jax.lax.map(solve_block, blocks)          # (nblocks, block, K)
-    return np.asarray(out.reshape(-1, cfg.k)[: cfg.l])
+    out = jax.lax.map(solve_block, blocks)        # (nblocks, block, K, 2)
+    return out.reshape(-1, cfg.k, 2)[:s]
+
+
+def compute_lambda(cfg: SVIConfig, gamma, packed, *, block: int = 1024):
+    """Full-matrix converged lambda (L, K, 2) given gamma — used by the
+    'local' lambda mode before export, and by compute_beta."""
+    u = ops.exp_elog_theta(jnp.asarray(gamma))
+    w = packed.shape[1]
+    if u.shape[0] != 4 * w:   # pad individuals to the byte boundary;
+        u = jnp.pad(u, ((0, 4 * w - u.shape[0]), (0, 0)),
+                    constant_values=1.0)  # padding genotypes are MISSING
+    lamb = solve_lambda_blocks(cfg, u, packed, block=block)
+    return lamb[: cfg.l]
+
+
+def compute_beta(cfg: SVIConfig, gamma, packed, *, block: int = 1024) -> np.ndarray:
+    """Final beta estimates (L, K) given converged gamma (N, K)."""
+    return np.asarray(psd.beta_mean(compute_lambda(cfg, gamma, packed,
+                                                   block=block)))

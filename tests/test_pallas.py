@@ -75,7 +75,8 @@ def test_full_step_pallas_vs_dense():
     data = GenotypeData.from_dense(xd, validation_frac=0, heldout_frac=0, seed=3)
     packed = jnp.asarray(data.packed)
 
-    cfg_d = SVIConfig(n=n, l=l, k=k, batch_size=20, seed=3, kernel="dense")
+    cfg_d = SVIConfig(n=n, l=l, k=k, batch_size=20, seed=3, kernel="dense",
+                      lambda_mode="stored")
     cfg_p = cfg_d.replace(kernel="pallas")
     s0 = engine.init_state(cfg_d)
 

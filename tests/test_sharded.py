@@ -32,7 +32,7 @@ def _mk(n, l, k, seed, vfrac=0.0):
 
 def test_sharded_step_runs_2d_mesh():
     n, l, k = 64, 96, 3
-    cfg = SVIConfig(n=n, l=l, k=k, batch_size=16, seed=1)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=16, seed=1, lambda_mode="stored")
     mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=2, snp=4))
     data = _mk(n, l, k, 1)
     plan, packed = sharded.prepare(cfg, data, mesh)
@@ -50,7 +50,8 @@ def test_ind_sharded_stats_match_dense():
     """Same minibatch (all SNPs, snp=1 shard) on ind=8: stats must agree
     with the dense engine's to float tolerance."""
     n, l, k = 64, 32, 3
-    cfg = SVIConfig(n=n, l=l, k=k, batch_size=l, seed=2, local_iters=4)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=l, seed=2, local_iters=4,
+                    lambda_mode="stored")
     data = _mk(n, l, k, 2)
 
     # Dense reference step on the full batch, fixed idx = arange(L).
@@ -93,7 +94,7 @@ def test_ind_sharded_stats_match_dense():
 
 def test_sharded_learning_improves_ll():
     n, l, k = 64, 128, 3
-    cfg = SVIConfig(n=n, l=l, k=k, batch_size=32, seed=3)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=32, seed=3, lambda_mode="stored")
     data = _mk(n, l, k, 3, vfrac=0.02)
     mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=2, snp=4))
     plan, packed = sharded.prepare(cfg, data, mesh)
@@ -112,7 +113,7 @@ def test_sharded_learning_improves_ll():
 def test_padding_individuals_and_snps():
     """Ragged N and L: padded entries must not corrupt statistics."""
     n, l, k = 61, 93, 2          # awkward sizes
-    cfg = SVIConfig(n=n, l=l, k=k, batch_size=16, seed=4)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=16, seed=4, lambda_mode="stored")
     data = _mk(n, l, k, 4)
     mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=2, snp=4))
     plan, packed = sharded.prepare(cfg, data, mesh)
@@ -127,3 +128,44 @@ def test_padding_individuals_and_snps():
     pad_g = g[n:]
     assert pad_g.shape[0] == plan.n_padded - n
     assert np.abs(pad_g - cfg.alpha_value).max() < 1.0
+
+
+def test_sharded_local_mode_runs():
+    """lambda_mode='local' sharded step: gamma learns, lamb untouched."""
+    n, l, k = 64, 128, 3
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=32, seed=5, lambda_mode="local")
+    data = _mk(n, l, k, 5, vfrac=0.02)
+    mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=2, snp=4))
+    plan, packed = sharded.prepare(cfg, data, mesh)
+    state = sharded.init_sharded_state(cfg, plan, mesh)
+    lamb0 = np.asarray(state.lamb).copy()
+    chunk = sharded.make_sharded_run_chunk(cfg, plan, mesh, 100)
+    s = chunk(state, packed)
+    np.testing.assert_array_equal(np.asarray(s.lamb), lamb0)  # derived state
+    # gamma-based eval via lambda recomputation improves
+    val = data.validation
+    uniq, inv = np.unique(val.snp_idx, return_inverse=True)
+    w = data.packed.shape[1]
+    f = engine.make_entry_loglik_recompute(
+        cfg, data.packed[uniq], inv.astype(np.int32), val.ind_idx, val.x)
+    s0 = sharded.init_sharded_state(cfg, plan, mesh)
+    ll0 = float(f(s0.gamma[:n]))
+    ll1 = float(f(s.gamma[:n]))
+    assert ll1 > ll0, (ll0, ll1)
+
+
+def test_fit_sharded_end_to_end():
+    """Turnkey fit_sharded on the emulated mesh, local lambda mode."""
+    from terastructure_tpu.parallel import fit_sharded
+
+    n, l, k = 64, 256, 2
+    _, _, x = simulate_psd(n, l, k, seed=6)
+    data = GenotypeData.from_dense(x, validation_frac=0.02,
+                                   heldout_frac=0.02, seed=6)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=32, rfreq=100, max_steps=600,
+                    seed=6, ind_shards=2, snp_shards=4)
+    res = fit_sharded(cfg, data)
+    assert np.isfinite(res.validation_ll)
+    assert res.heldout_ll is not None and np.isfinite(res.heldout_ll)
+    # local mode materialized lambda at the end
+    assert np.abs(np.asarray(res.state.lamb[:l]) - 1.0).max() > 1.0

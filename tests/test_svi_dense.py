@@ -104,7 +104,10 @@ def test_validation_ll_improves(rng):
     n, l, k = 64, 128, 3
     _, _, x = simulate_psd(n, l, k, seed=7)
     data = GenotypeData.from_dense(x, validation_frac=0.02, heldout_frac=0, seed=7)
-    cfg = SVIConfig(n=n, l=l, k=k, batch_size=16, seed=7)
+    # stored mode: entry_loglik reads the stored lambda (the 'local' mode
+    # eval path is covered in test_fused.py)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=16, seed=7,
+                    lambda_mode="stored")
     packed = jnp.asarray(data.packed)
     state = engine.init_state(cfg)
     val = data.validation
