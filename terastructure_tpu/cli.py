@@ -170,14 +170,33 @@ def cmd_fit(args):
         log.info("fitting seed=%d -> %s", seed, sub)
         import jax
 
+        ckpt_dir = os.path.join(sub, "checkpoint")
+        state = None
+        if args.resume and os.path.exists(os.path.join(ckpt_dir, "config.json")):
+            from terastructure_tpu.io.checkpoint import restore_checkpoint
+
+            state, ck_cfg = restore_checkpoint(ckpt_dir)
+            # Model hyperparameters come from the checkpoint (they define
+            # the run); runtime controls stay with the flags.
+            merged = ck_cfg.replace(
+                max_steps=cfg.max_steps, rfreq=cfg.rfreq, label=cfg.label,
+                conv_tol=cfg.conv_tol, conv_patience=cfg.conv_patience)
+            if merged != cfg:
+                log.warning("resume: using checkpointed model hyperparameters")
+            cfg = merged
+            log.info("resuming from step %d", int(state.t))
+        fit_kw = dict(
+            state=state,
+            metrics_path=os.path.join(sub, "metrics.jsonl"),
+            trace_path=os.path.join(sub, "validation.txt"),
+            checkpoint_dir=ckpt_dir,
+        )
         if args.ind_shards or args.snp_shards or len(jax.devices()) > 1:
             from terastructure_tpu.parallel import fit_sharded
 
-            res = fit_sharded(
-                cfg, data, metrics_path=os.path.join(sub, "metrics.jsonl"))
+            res = fit_sharded(cfg, data, **fit_kw)
         else:
-            res = fit(cfg, data,
-                      metrics_path=os.path.join(sub, "metrics.jsonl"))
+            res = fit(cfg, data, **fit_kw)
         log.info(
             "seed=%d converged=%s steps=%d validation_ll=%.6f heldout_ll=%s",
             seed, res.converged, res.steps, res.validation_ll,
@@ -280,6 +299,8 @@ def main(argv=None):
     _add_svi_args(p)
     p.add_argument("--replicates", type=int, default=1,
                    help="multi-seed replicates; keep best validation ll")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the run dir's checkpoint")
     p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser("compute-beta",

@@ -71,55 +71,47 @@ def _plane_counts(bytes_blk, s, dtype):
 
 
 def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
-                 dtype, warm_start):
-    """Kernel body. Refs:
-    idx_ref (B,) SMEM [scalar prefetch];
-    packed_hbm (L, W) ANY; up_ref (4, W, K) VMEM;
-    lamb_init_ref (B, K, 2) VMEM [warm start; ignored when cold];
-    out: lamb_ref (B, K, 2), g_ref (4, W, K);
-    scratch: rows (B, W) VMEM uint8, sem.
+                 dtype, warm_start, gather_group=0):
+    """Kernel body, two I/O arrangements:
+
+    gather_group == 0: rows arrive XLA-gathered —
+        kernel(rows_ref, up_ref, l0i_ref, l1i_ref, lamb_ref, g_ref)
+    gather_group == g (multiple of 8): the kernel DMAs the minibatch
+    itself as B/g aligned (g, W) HBM slices (Mosaic forbids sub-8-row
+    slices of a tiled HBM memref, so per-row gathers are illegal but
+    aligned g-row groups are fine) —
+        kernel(idx0_ref[scalar prefetch], packed_hbm, up_ref, l0i, l1i,
+               lamb_ref, g_ref, rows_vmem, sem)
+    lambda-init arrives as two (B, K) refs (a strided (B, K, 2) slice
+    feeding a reduction is another Mosaic limitation).
     """
     n_wt = w // tw
     eps = 1e-30
 
-    def kernel(idx_ref, packed_hbm, up_ref, lamb_init_ref,
-               lamb_ref, g_ref, rows_ref, sem):
-        # --- 1. gather rows via pipelined per-row DMA --------------------
-        def issue(i, _):
-            pltpu.make_async_copy(
-                packed_hbm.at[idx_ref[i]], rows_ref.at[i], sem,
-            ).start()
-            return 0
-
-        jax.lax.fori_loop(0, b, issue, 0)
-
-        def drain(i, _):
-            pltpu.make_async_copy(
-                packed_hbm.at[idx_ref[i]], rows_ref.at[i], sem,
-            ).wait()
-            return 0
-
-        jax.lax.fori_loop(0, b, drain, 0)
-
-        # --- 2. coordinate ascent, lambda resident in registers/VMEM ----
+    def body_common(rows_ref, up_ref, l0i_ref, l1i_ref, lamb_ref, g_ref):
+        # --- coordinate ascent, lambda resident in registers/VMEM -------
         if warm_start:
-            lam0_init = lamb_init_ref[:, :, 0]
-            lam1_init = lamb_init_ref[:, :, 1]
+            lam0_init = l0i_ref[:]
+            lam1_init = l1i_ref[:]
         else:
             lam0_init = jnp.full((b, k), beta_a, jnp.float32)
             lam1_init = jnp.full((b, k), beta_b, jnp.float32)
 
         def one_pass(t1, t0, need_g):
             """Sweep planes x W-tiles; returns (l0raw, l1raw) and writes
-            g partials when need_g (python-static)."""
-            acc0 = jnp.zeros((b, k), jnp.float32)
-            acc1 = jnp.zeros((b, k), jnp.float32)
+            g partials when need_g (python-static). The W-tile loop is a
+            lax.fori_loop so Mosaic reuses the tile buffers — a
+            statically-unrolled sweep stack-allocates every tile's
+            temporaries at once and blows the 16 MB VMEM budget."""
             t1d = t1.astype(dtype)
             t0d = t0.astype(dtype)
-            for wt in range(n_wt):
-                blk = rows_ref[:, wt * tw:(wt + 1) * tw]
+
+            def wt_body(wt, accs):
+                acc0, acc1 = accs
+                start = pl.multiple_of(wt * tw, tw)
+                blk = rows_ref[:, pl.ds(start, tw)]
                 for s in range(4):
-                    u_s = up_ref[s, wt * tw:(wt + 1) * tw, :].astype(dtype)
+                    u_s = up_ref[s, pl.ds(start, tw), :].astype(dtype)
                     a1, a0 = _plane_counts(blk, s, dtype)
                     d1 = jax.lax.dot_general(
                         t1d, u_s, (((1,), (1,)), ((), ())),
@@ -134,7 +126,7 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
                     acc1 = acc1 + jnp.dot(
                         r0, u_s, preferred_element_type=jnp.float32)
                     if need_g:
-                        g_ref[s, wt * tw:(wt + 1) * tw, :] += (
+                        g_ref[s, pl.ds(start, tw), :] += (
                             jax.lax.dot_general(
                                 r1, t1d, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -142,7 +134,12 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
                                 r0, t0d, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
                         )
-            return acc0, acc1
+                return acc0, acc1
+
+            return jax.lax.fori_loop(
+                0, n_wt, wt_body,
+                (jnp.zeros((b, k), jnp.float32),
+                 jnp.zeros((b, k), jnp.float32)))
 
         def cond(carry):
             _, _, it, delta = carry
@@ -164,14 +161,45 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
             cond, body, (lam0_init, lam1_init, jnp.int32(0),
                          jnp.float32(jnp.inf)))
 
-        # --- 3. final pass: gamma statistics + final lambda -------------
+        # --- final pass: gamma statistics + final lambda ----------------
         g_ref[:] = jnp.zeros_like(g_ref)
         t1, t0 = _exp_elog_beta_inkernel(lam0, lam1)
         l0, l1 = one_pass(t1, t0, need_g=True)
         lamb_ref[:, :, 0] = beta_a + t1 * l0
         lamb_ref[:, :, 1] = beta_b + t0 * l1
 
-    return kernel
+    if not gather_group:
+        def kernel(rows_ref, up_ref, l0i_ref, l1i_ref, lamb_ref, g_ref):
+            body_common(rows_ref, up_ref, l0i_ref, l1i_ref, lamb_ref, g_ref)
+
+        return kernel
+
+    g = gather_group
+    ng = b // g
+
+    def kernel_dma(idx0_ref, packed_hbm, up_ref, l0i_ref, l1i_ref,
+                   lamb_ref, g_ref, rows_vmem, sem):
+        def make_dma(i):
+            return pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(pl.multiple_of(idx0_ref[i], g), g)],
+                rows_vmem.at[pl.ds(pl.multiple_of(i * g, g), g)],
+                sem,
+            )
+
+        def issue(i, _):
+            make_dma(i).start()
+            return 0
+
+        jax.lax.fori_loop(0, ng, issue, 0)
+
+        def drain(i, _):
+            make_dma(i).wait()
+            return 0
+
+        jax.lax.fori_loop(0, ng, drain, 0)
+        body_common(rows_vmem, up_ref, l0i_ref, l1i_ref, lamb_ref, g_ref)
+
+    return kernel_dma
 
 
 def supports(b: int, w: int) -> bool:
@@ -183,18 +211,17 @@ def supports(b: int, w: int) -> bool:
     jax.jit,
     static_argnames=("local_iters", "local_tol", "beta_a", "beta_b",
                      "dtype", "warm_start", "interpret"))
-def fused_local_solve(idx, packed, u_planes, lamb_init, *,
+def fused_local_solve(rows, u_planes, lamb_init, *,
                       local_iters, local_tol, beta_a, beta_b,
                       dtype=jnp.bfloat16, warm_start=False,
                       interpret=False):
     """Run the fused step kernel.
 
-    idx: (B,) int32 row indices into packed (L, W) uint8 (HBM-resident).
+    rows: (B, W) uint8 gathered minibatch genotype rows.
     u_planes: (4, W, K) f32. lamb_init: (B, K, 2) f32 (used iff
     warm_start). Returns (new_lamb_b (B,K,2) f32, g_planes (4,W,K) f32).
     """
-    b = idx.shape[0]
-    _, w = packed.shape
+    b, w = rows.shape
     k = u_planes.shape[-1]
     if not supports(b, w):
         raise ValueError(f"fused kernel unsupported for B={b}, W={w}")
@@ -205,13 +232,64 @@ def fused_local_solve(idx, packed, u_planes, lamb_init, *,
         local_tol=local_tol, beta_a=beta_a, beta_b=beta_b, dtype=dtype,
         warm_start=warm_start)
 
+    lamb_b, g = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # u_planes
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # lamb_init[...,0]
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # lamb_init[...,1]
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k, 2), jnp.float32),
+            jax.ShapeDtypeStruct((4, w, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows, u_planes,
+      lamb_init[:, :, 0] + 0.0,
+      lamb_init[:, :, 1] + 0.0)
+    return lamb_b, g
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "local_iters", "local_tol", "beta_a",
+                     "beta_b", "dtype", "warm_start", "interpret"))
+def fused_local_solve_dma(idx0, packed, u_planes, lamb_init, *, group,
+                          local_iters, local_tol, beta_a, beta_b,
+                          dtype=jnp.bfloat16, warm_start=False,
+                          interpret=False):
+    """Fused solve with in-kernel group DMA (no XLA gather).
+
+    idx0: (B/group,) int32 start rows (multiples of `group`, which must
+    be a multiple of 8 — HBM slice alignment) into packed (L, W).
+    Returns (new_lamb_b (B,K,2), g_planes (4,W,K)).
+    """
+    ng = idx0.shape[0]
+    b = ng * group
+    _, w = packed.shape
+    k = u_planes.shape[-1]
+    if group % 8 or not supports(b, w):
+        raise ValueError(f"unsupported B={b}, W={w}, group={group}")
+    tw = 512 if w % 512 == 0 else (256 if w % 256 == 0 else 128)
+
+    kernel = _make_kernel(
+        b=b, w=w, k=k, tw=tw, local_iters=local_iters,
+        local_tol=local_tol, beta_a=beta_a, beta_b=beta_b, dtype=dtype,
+        warm_start=warm_start, gather_group=group)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),         # packed stays HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),     # u_planes
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # lamb_init
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # lamb_init[...,0]
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # lamb_init[...,1]
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -230,5 +308,7 @@ def fused_local_solve(idx, packed, u_planes, lamb_init, *,
             jax.ShapeDtypeStruct((4, w, k), jnp.float32),
         ],
         interpret=interpret,
-    )(idx, packed, u_planes, lamb_init)
+    )(idx0, packed, u_planes,
+      lamb_init[:, :, 0] + 0.0,
+      lamb_init[:, :, 1] + 0.0)
     return lamb_b, g

@@ -37,7 +37,11 @@ def fit_sharded(
             len(jax.devices()), cfg.ind_shards, cfg.snp_shards)
         mesh = meshlib.make_mesh(spec)
     plan, packed = sharded.prepare(cfg, data, mesh)
-    state = sharded.init_sharded_state(cfg, plan, mesh)
+    state = fit_kw.pop("state", None)
+    if state is None:
+        state = sharded.init_sharded_state(cfg, plan, mesh)
+    else:
+        state = sharded.shard_state(state, plan, mesh)   # e.g. resume
 
     def factory(cfg_, nsteps, l_sample):
         assert l_sample == plan.l_padded

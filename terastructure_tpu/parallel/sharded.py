@@ -146,6 +146,7 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
         wl = packed_l.shape[1]
 
         if want_fused and fused_step.supports(b_local, wl):
+            rows_f = packed_l[idx]
             u = ops.exp_elog_theta(gamma_l)
             if u.shape[0] != 4 * wl:
                 u = jnp.pad(u, ((0, 4 * wl - u.shape[0]), (0, 0)),
@@ -155,7 +156,7 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
             kdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                       else jnp.float32)
             new_lamb_b, g = fused_step.fused_local_solve(
-                idx, packed_l, pk.u_to_planes(u), lamb_init,
+                rows_f, pk.u_to_planes(u), lamb_init,
                 local_iters=cfg.local_iters, local_tol=cfg.local_tol,
                 beta_a=cfg.beta_a, beta_b=cfg.beta_b, dtype=kdtype,
                 warm_start=not local_mode, interpret=interpret)

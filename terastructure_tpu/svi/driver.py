@@ -46,6 +46,9 @@ def fit(
     step_fn_factory: Optional[Callable] = None,
     packed=None,
     metrics_path: Optional[str] = None,
+    trace_path: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 5,
     callback: Optional[Callable[[dict], None]] = None,
 ) -> FitResult:
     """Run SVI until convergence or cfg.max_steps.
@@ -95,8 +98,10 @@ def fit(
     best_ll = -np.inf
     stall = 0
     converged = False
+    checks = 0
     t0 = time.time()
     mfile = open(metrics_path, "a") if metrics_path else None
+    tfile = open(trace_path, "a") if trace_path else None
 
     try:
         while int(state.t) < cfg.max_steps:
@@ -125,13 +130,26 @@ def fit(
             if mfile:
                 mfile.write(json.dumps(rec) + "\n")
                 mfile.flush()
+            if tfile and "validation_ll" in rec:
+                # reference-style plain trace: iteration  loglik  wall
+                tfile.write(f"{rec['step']}\t{rec['validation_ll']:.8f}"
+                            f"\t{rec['wall_s']}\n")
+                tfile.flush()
             if callback:
                 callback(rec)
+            checks += 1
+            if checkpoint_dir and (converged or
+                                   checks % max(checkpoint_every, 1) == 0):
+                from terastructure_tpu.io.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_dir, state, cfg)
             if converged:
                 break
     finally:
         if mfile:
             mfile.close()
+        if tfile:
+            tfile.close()
 
     if local_mode:
         # Materialize the full converged lambda for export/checkpoint/

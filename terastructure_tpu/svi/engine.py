@@ -235,22 +235,42 @@ def make_step(cfg: SVIConfig, l_sample: int | None = None):
             impl = "pallas"
 
         if impl == "fused":
-            idx = _sample_batch(kb, l_s, b)
             from terastructure_tpu.ops import stats_pallas as pk
 
+            g_dma = cfg.snp_group
+            use_dma = (g_dma >= 8 and g_dma % 8 == 0 and l_s % g_dma == 0
+                       and b % g_dma == 0 and l_s > 65536
+                       and not interpret)
             u = ops.exp_elog_theta(gamma)
             if u.shape[0] != 4 * w:
                 u = jnp.pad(u, ((0, 4 * w - u.shape[0]), (0, 0)),
                             constant_values=1.0)
-            lamb_init = (jnp.zeros((b, cfg.k, 2), jnp.float32)
-                         if local_mode else lamb[idx])
             dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)
-            new_lamb_b, g = fused_step.fused_local_solve(
-                idx, packed, pk.u_to_planes(u), lamb_init,
-                local_iters=cfg.local_iters, local_tol=cfg.local_tol,
-                beta_a=cfg.beta_a, beta_b=cfg.beta_b, dtype=dtype,
-                warm_start=not local_mode, interpret=interpret)
+            if use_dma:
+                gidx = jax.random.randint(
+                    kb, (b // g_dma,), 0, l_s // g_dma, dtype=jnp.int32)
+                idx0 = gidx * g_dma
+                idx = (idx0[:, None]
+                       + jnp.arange(g_dma, dtype=jnp.int32)).reshape(b)
+                lamb_init = (jnp.zeros((b, cfg.k, 2), jnp.float32)
+                             if local_mode else lamb[idx])
+                new_lamb_b, g = fused_step.fused_local_solve_dma(
+                    idx0, packed, pk.u_to_planes(u), lamb_init,
+                    group=g_dma,
+                    local_iters=cfg.local_iters, local_tol=cfg.local_tol,
+                    beta_a=cfg.beta_a, beta_b=cfg.beta_b, dtype=dtype,
+                    warm_start=not local_mode, interpret=interpret)
+            else:
+                idx = _sample_batch(kb, l_s, b)
+                rows = packed[idx]
+                lamb_init = (jnp.zeros((b, cfg.k, 2), jnp.float32)
+                             if local_mode else lamb[idx])
+                new_lamb_b, g = fused_step.fused_local_solve(
+                    rows, pk.u_to_planes(u), lamb_init,
+                    local_iters=cfg.local_iters, local_tol=cfg.local_tol,
+                    beta_a=cfg.beta_a, beta_b=cfg.beta_b, dtype=dtype,
+                    warm_start=not local_mode, interpret=interpret)
             gamma_stat = (u * pk.planes_to_flat(g))[: gamma.shape[0]]
             if not local_mode:
                 lamb = lamb.at[idx].set(new_lamb_b)

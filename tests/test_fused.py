@@ -46,7 +46,7 @@ def test_fused_matches_dense_cold_start():
 
     u = ops.exp_elog_theta(gamma)
     got_lamb, g = fused_step.fused_local_solve(
-        idx, packed, pk.u_to_planes(u), jnp.zeros((b, k, 2), jnp.float32),
+        packed[idx], pk.u_to_planes(u), jnp.zeros((b, k, 2), jnp.float32),
         local_iters=6, local_tol=-1.0, beta_a=1.0, beta_b=1.0,
         dtype=jnp.float32, warm_start=False, interpret=True)
     got_gstat = u * pk.planes_to_flat(g)
@@ -68,7 +68,7 @@ def test_fused_warm_start_matches_dense():
     want_lamb, _ = engine.step_core_dense(cfg, gamma, xb, lamb_b)
     u = ops.exp_elog_theta(gamma)
     got_lamb, _ = fused_step.fused_local_solve(
-        idx, packed, pk.u_to_planes(u), lamb_b,
+        packed[idx], pk.u_to_planes(u), lamb_b,
         local_iters=4, local_tol=-1.0, beta_a=1.0, beta_b=1.0,
         dtype=jnp.float32, warm_start=True, interpret=True)
     np.testing.assert_allclose(np.asarray(got_lamb), np.asarray(want_lamb),
@@ -102,3 +102,29 @@ def test_supports_predicate():
     assert not fused_step.supports(1024, 8192)   # rows too big for VMEM
     assert not fused_step.supports(1024, 130)    # W not 128-aligned
     assert not fused_step.supports(13, 128)      # B not 8-aligned
+
+
+def test_fused_dma_matches_rows_variant():
+    """Group-DMA kernel == rows-input kernel on identical group batches."""
+    b, n, l, k, g = 32, 512, 128, 3, 8
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, 4, size=(l, n)).astype(np.int8)
+    packed = jnp.asarray(pack2bit(x))
+    gamma = jnp.asarray(rng.uniform(0.3, 3.0, size=(n, k)), jnp.float32)
+    gidx = jnp.asarray(rng.integers(0, l // g, size=b // g), jnp.int32)
+    idx0 = gidx * g
+    idx = (idx0[:, None] + jnp.arange(g, dtype=jnp.int32)).reshape(b)
+
+    u = ops.exp_elog_theta(gamma)
+    kw = dict(local_iters=5, local_tol=-1.0, beta_a=1.0, beta_b=1.0,
+              dtype=jnp.float32, warm_start=False, interpret=True)
+    want_lamb, want_g = fused_step.fused_local_solve(
+        packed[idx], pk.u_to_planes(u), jnp.zeros((b, k, 2), jnp.float32),
+        **kw)
+    got_lamb, got_g = fused_step.fused_local_solve_dma(
+        idx0, packed, pk.u_to_planes(u), jnp.zeros((b, k, 2), jnp.float32),
+        group=g, **kw)
+    np.testing.assert_allclose(np.asarray(got_lamb), np.asarray(want_lamb),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=1e-5, atol=1e-6)

@@ -130,3 +130,26 @@ def test_checkpoint_roundtrip(tmp_path):
     s_straight = step(state, jnp.asarray(data.packed))
     np.testing.assert_allclose(
         np.asarray(s_resumed.gamma), np.asarray(s_straight.gamma), rtol=1e-6)
+
+
+def test_cli_resume_continues(tmp_path):
+    stem = str(tmp_path / "toy3")
+    cli_main(["simulate", "-n", "32", "-l", "96", "-k", "2",
+              "--seed", "6", "-o", stem])
+    common = ["fit", "--bed", stem + ".bed", "-k", "2",
+              "--batch-size", "16", "--rfreq", "40",
+              "--label", "rz", "--out-base", str(tmp_path), "--seed", "6",
+              "--force-cpu"]
+    cli_main(common + ["--max-steps", "80"])
+    run_dir = tmp_path / "n32-k2-l96-rz"
+    import json as _json
+    r1 = _json.loads((run_dir / "result.json").read_text())
+    assert r1["steps"] == 80
+    # resume continues from the checkpoint to the new cap
+    cli_main(common + ["--max-steps", "160", "--resume"])
+    r2 = _json.loads((run_dir / "result.json").read_text())
+    assert r2["steps"] == 160
+    # validation trace file exists with both phases
+    lines = (run_dir / "validation.txt").read_text().strip().splitlines()
+    steps = [int(s.split("\t")[0]) for s in lines]
+    assert 80 in steps and 160 in steps
