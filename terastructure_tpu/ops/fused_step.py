@@ -98,43 +98,48 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
             lam1_init = jnp.full((b, k), beta_b, jnp.float32)
 
         def one_pass(t1, t0, need_g):
-            """Sweep planes x W-tiles; returns (l0raw, l1raw) and writes
-            g partials when need_g (python-static). The W-tile loop is a
-            lax.fori_loop so Mosaic reuses the tile buffers — a
-            statically-unrolled sweep stack-allocates every tile's
-            temporaries at once and blows the 16 MB VMEM budget."""
-            t1d = t1.astype(dtype)
-            t0d = t0.astype(dtype)
+            """Sweep W-tiles; returns (l0raw, l1raw) and writes g partials
+            when need_g (python-static).
+
+            Two fusions keep the MXU fed with few LARGE dots instead of
+            many tiny ones (16 small dots/tile measured ~1.3 ms/step of
+            pure launch latency): the 4 bit-planes concatenate along the
+            lane axis (columns ordered s*TW+w to match u_planes'
+            (4, TW, K) -> (4TW, K) row order), and the two allele
+            directions stack along rows (T = [t1; t0], R = [r1; r0]) so
+            d-, stat- and g-dots each become ONE dot per tile:
+                D = T U_catᵀ   (2B, 4TW)
+                acc += R U_cat (2B, K)     split -> acc0/acc1
+                g   += Rᵀ T    (4TW, K)    = r1ᵀt1 + r0ᵀt0
+
+            The W-tile loop is a lax.fori_loop so Mosaic reuses tile
+            buffers (a statically-unrolled sweep stack-allocates every
+            tile at once and blows the 16 MB VMEM budget)."""
+            t_cat = jnp.concatenate(
+                [t1.astype(dtype), t0.astype(dtype)], axis=0)   # (2B, K)
 
             def wt_body(wt, accs):
                 acc0, acc1 = accs
                 start = pl.multiple_of(wt * tw, tw)
                 blk = rows_ref[:, pl.ds(start, tw)]
-                for s in range(4):
-                    u_s = up_ref[s, pl.ds(start, tw), :].astype(dtype)
-                    a1, a0 = _plane_counts(blk, s, dtype)
-                    d1 = jax.lax.dot_general(
-                        t1d, u_s, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    d0 = jax.lax.dot_general(
-                        t0d, u_s, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    r1 = (a1.astype(jnp.float32) / (d1 + eps)).astype(dtype)
-                    r0 = (a0.astype(jnp.float32) / (d0 + eps)).astype(dtype)
-                    acc0 = acc0 + jnp.dot(
-                        r1, u_s, preferred_element_type=jnp.float32)
-                    acc1 = acc1 + jnp.dot(
-                        r0, u_s, preferred_element_type=jnp.float32)
-                    if need_g:
-                        g_ref[s, pl.ds(start, tw), :] += (
-                            jax.lax.dot_general(
-                                r1, t1d, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-                            + jax.lax.dot_general(
-                                r0, t0d, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-                        )
-                return acc0, acc1
+                u_cat = up_ref[:, pl.ds(start, tw), :].reshape(
+                    4 * tw, k).astype(dtype)                    # (4TW, K)
+                counts = [_plane_counts(blk, s, dtype) for s in range(4)]
+                a_cat = jnp.concatenate(
+                    [jnp.concatenate([c[0] for c in counts], axis=1),
+                     jnp.concatenate([c[1] for c in counts], axis=1)],
+                    axis=0)                                     # (2B, 4TW)
+                d = jax.lax.dot_general(
+                    t_cat, u_cat, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)         # (2B, 4TW)
+                r = (a_cat.astype(jnp.float32) / (d + eps)).astype(dtype)
+                acc = jnp.dot(r, u_cat, preferred_element_type=jnp.float32)
+                if need_g:
+                    g_ref[:, pl.ds(start, tw), :] += jax.lax.dot_general(
+                        r, t_cat, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(4, tw, k)
+                return acc0 + acc[:b], acc1 + acc[b:]
 
             return jax.lax.fori_loop(
                 0, n_wt, wt_body,
