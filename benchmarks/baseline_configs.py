@@ -1,0 +1,153 @@
+"""Runner for the five BASELINE.json acceptance configs.
+
+    python benchmarks/baseline_configs.py --config 1          # 1Kx10K K=3
+    python benchmarks/baseline_configs.py --config 2          # HGDP shape
+    python benchmarks/baseline_configs.py --config 3          # TGP shape
+    python benchmarks/baseline_configs.py --config 4          # validator
+    python benchmarks/baseline_configs.py --config 5 --scale 0.02
+
+Real HGDP/TGP genotypes are not available in-environment (no network);
+configs 2/3/5 run synthetic PSD draws at the published shapes
+(BASELINE.json:6-10). --scale shrinks N and L proportionally for
+smoke runs; config 5 additionally reports the sharded path on however
+many devices exist. Prints one JSON line per run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CONFIGS = {
+    1: dict(n=1000, l=10_000, k=3, batch=256, name="sim-1Kx10K-K3"),
+    2: dict(n=940, l=640_000, k=7, batch=1024, name="hgdp-940x640K-K7"),
+    3: dict(n=2504, l=1_000_000, k=8, batch=1024, name="tgp-2504x1M-K8"),
+    4: dict(n=500, l=5000, k=3, batch=256, name="validator-500x5K-K3"),
+    5: dict(n=1_000_000, l=1_000_000, k=10, batch=4096,
+            name="synthetic-1Mx1M-K10"),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, required=True, choices=CONFIGS)
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="shrink N and L by this factor (smoke runs)")
+    ap.add_argument("--max-steps", type=int, default=0,
+                    help="override step cap (default: until convergence)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    spec = CONFIGS[args.config]
+    n = max(int(spec["n"] * args.scale), 16)
+    l = max(int(spec["l"] * args.scale), 64)
+    k = spec["k"]
+
+    import numpy as np
+
+    from terastructure_tpu.config import SVIConfig
+    from terastructure_tpu.data import GenotypeData
+    from terastructure_tpu.data.pack import pack2bit
+    from terastructure_tpu.models import psd
+    from terastructure_tpu.utils import mean_abs_theta_error
+    from terastructure_tpu.utils.profiling import StepMeter
+
+    t0 = time.time()
+    # Chunked simulation (binomial via two uniform thresholds — fast).
+    rng = np.random.default_rng(args.seed)
+    dominant = rng.integers(0, k, size=n)
+    conc = np.full((n, k), 0.2)
+    conc[np.arange(n), dominant] = 5.0
+    theta = np.empty((n, k), np.float32)
+    for i in range(0, n, 1 << 16):
+        sl = slice(i, min(i + (1 << 16), n))
+        g = rng.gamma(conc[sl], 1.0)
+        theta[sl] = (g / g.sum(1, keepdims=True)).astype(np.float32)
+    packed = np.empty((l, (n + 3) // 4), np.uint8)
+    beta_true = np.empty((l, k), np.float32)
+    for j0 in range(0, l, 1 << 16):
+        j1 = min(j0 + (1 << 16), l)
+        beta = np.clip(rng.beta(1, 1, size=(j1 - j0, k)), 1e-4,
+                       1 - 1e-4).astype(np.float32)
+        beta_true[j0:j1] = beta
+        p = np.clip(theta @ beta.T, 0, 1)
+        x = ((rng.random(p.shape, np.float32) < p).astype(np.int8)
+             + (rng.random(p.shape, np.float32) < p).astype(np.int8)).T
+        packed[j0:j1] = pack2bit(x)
+    sim_s = time.time() - t0
+
+    data = GenotypeData(n=n, l=l, packed=packed)
+    # carve eval sets from the packed matrix (COO over a sample of entries)
+    t0 = time.time()
+    n_eval = max(int(0.005 * n * l), 100)
+    from terastructure_tpu.data.pack import unpack2bit
+    from terastructure_tpu.data.dataset import EntrySet
+    from terastructure_tpu.models.psd import MISSING
+
+    ii = rng.integers(0, n, size=2 * n_eval).astype(np.int32)
+    jj = rng.integers(0, l, size=2 * n_eval).astype(np.int32)
+    xs = np.empty(2 * n_eval, np.int8)
+    for t_i in range(2 * n_eval):          # small relative to n*l
+        b = packed[jj[t_i], ii[t_i] >> 2]
+        xs[t_i] = (b >> (2 * (int(ii[t_i]) & 3))) & 3
+    keep = xs != MISSING
+    ii, jj, xs = ii[keep], jj[keep], xs[keep]
+    half = len(xs) // 2
+    data.validation = EntrySet(ii[:half], jj[:half], xs[:half])
+    data.heldout = EntrySet(ii[half:], jj[half:], xs[half:])
+    for i_, j_ in zip(ii, jj):             # recode as MISSING in training
+        byte = packed[j_, i_ >> 2]
+        shift = 2 * (int(i_) & 3)
+        packed[j_, i_ >> 2] = (byte & (0xFF ^ (0x3 << shift))) | (0x3 << shift)
+    eval_s = time.time() - t0
+
+    if args.config == 4:
+        from terastructure_tpu.mcmc.validate import compare_svi_mcmc
+
+        x_dense = unpack2bit(packed, n).T
+        rep = compare_svi_mcmc(x_dense, k=k, sampler="nuts",
+                               seed=args.seed, n_samples=500, n_warmup=400)
+        print(json.dumps(dict(
+            config=spec["name"], scale=args.scale,
+            theta_mae=round(rep.theta_mae, 5),
+            beta_mae=round(rep.beta_mae, 5),
+            wall_s=round(time.time() - t0, 1))))
+        return
+
+    import jax
+
+    cfg = SVIConfig(
+        n=n, l=l, k=k, batch_size=min(spec["batch"], l),
+        rfreq=100, max_steps=args.max_steps or 20_000, seed=args.seed,
+        snp_group=8,
+    )
+    meter = StepMeter(cfg.batch_size)
+    t0 = time.time()
+    if len(jax.devices()) > 1:
+        from terastructure_tpu.parallel import fit_sharded
+
+        res = fit_sharded(cfg, data, callback=meter)
+    else:
+        from terastructure_tpu.svi import fit
+
+        res = fit(cfg, data, callback=meter)
+    theta_hat = np.asarray(psd.theta_mean(res.state.gamma))[:n]
+    print(json.dumps(dict(
+        config=spec["name"], scale=args.scale, n=n, l=l, k=k,
+        converged=res.converged, steps=res.steps,
+        validation_ll=round(res.validation_ll, 6),
+        heldout_ll=round(res.heldout_ll, 6) if res.heldout_ll else None,
+        theta_mae_vs_truth=round(mean_abs_theta_error(theta_hat, theta), 5),
+        snp_updates_per_s=round(meter.snp_updates_per_s, 1),
+        sim_s=round(sim_s, 1), eval_carve_s=round(eval_s, 1),
+        fit_wall_s=round(time.time() - t0, 1),
+    )))
+
+
+if __name__ == "__main__":
+    main()

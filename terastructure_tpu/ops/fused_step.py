@@ -239,6 +239,8 @@ def fused_local_solve(rows, u_planes, lamb_init, *,
 
     lamb_b, g = pl.pallas_call(
         kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),     # rows
             pl.BlockSpec(memory_space=pltpu.VMEM),     # u_planes
@@ -308,6 +310,8 @@ def fused_local_solve_dma(idx0, packed, u_planes, lamb_init, *, group,
     lamb_b, g = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=[
             jax.ShapeDtypeStruct((b, k, 2), jnp.float32),
             jax.ShapeDtypeStruct((4, w, k), jnp.float32),
