@@ -65,6 +65,24 @@ def _plane_counts(bytes_blk, s, dtype):
     return a1, a0
 
 
+def _ratios_tile(blk, up_ref, t_cat, dtype):
+    """Shared tile core: planar counts -> big-dot ratios.
+
+    blk (TB, TW) bytes, t_cat (2TB, K); returns (r (2TB, 4TW), u_cat
+    (4TW, K)) — one D-dot instead of 8 small ones (MXU launch latency
+    dominates at K=8; see fused_step.one_pass)."""
+    u_cat = up_ref[:].reshape(-1, up_ref.shape[-1]).astype(dtype)  # (4TW,K)
+    counts = [_plane_counts(blk, s, dtype) for s in range(4)]
+    a_cat = jnp.concatenate(
+        [jnp.concatenate([c[0] for c in counts], axis=1),
+         jnp.concatenate([c[1] for c in counts], axis=1)], axis=0)
+    d = jax.lax.dot_general(
+        t_cat, u_cat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (2TB, 4TW)
+    r = (a_cat.astype(jnp.float32) / (d + _EPS)).astype(dtype)
+    return r, u_cat
+
+
 def _lambda_kernel(bytes_ref, up_ref, t1_ref, t0_ref, l0_ref, l1_ref,
                    *, dtype):
     j = pl.program_id(1)
@@ -74,26 +92,13 @@ def _lambda_kernel(bytes_ref, up_ref, t1_ref, t0_ref, l0_ref, l1_ref,
         l0_ref[:] = jnp.zeros_like(l0_ref)
         l1_ref[:] = jnp.zeros_like(l1_ref)
 
-    t1 = t1_ref[:].astype(dtype)          # (TB, K)
-    t0 = t0_ref[:].astype(dtype)
-    blk = bytes_ref[:]                    # (TB, TW) uint8
-    acc0 = jnp.zeros_like(l0_ref)
-    acc1 = jnp.zeros_like(l1_ref)
-    for s in range(4):
-        u_s = up_ref[s].astype(dtype)     # (TW, K)
-        a1, a0 = _plane_counts(blk, s, dtype)
-        d1 = jax.lax.dot_general(
-            t1, u_s, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (TB, TW)
-        d0 = jax.lax.dot_general(
-            t0, u_s, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        r1 = (a1.astype(jnp.float32) / (d1 + _EPS)).astype(dtype)
-        r0 = (a0.astype(jnp.float32) / (d0 + _EPS)).astype(dtype)
-        acc0 = acc0 + jnp.dot(r1, u_s, preferred_element_type=jnp.float32)
-        acc1 = acc1 + jnp.dot(r0, u_s, preferred_element_type=jnp.float32)
-    l0_ref[:] += acc0
-    l1_ref[:] += acc1
+    tb = t1_ref.shape[0]
+    t_cat = jnp.concatenate(
+        [t1_ref[:].astype(dtype), t0_ref[:].astype(dtype)], axis=0)
+    r, u_cat = _ratios_tile(bytes_ref[:], up_ref, t_cat, dtype)
+    acc = jnp.dot(r, u_cat, preferred_element_type=jnp.float32)  # (2TB, K)
+    l0_ref[:] += acc[:tb]
+    l1_ref[:] += acc[tb:]
 
 
 def _gamma_kernel(bytes_ref, up_ref, t1_ref, t0_ref, g_ref, *, dtype):
@@ -103,29 +108,15 @@ def _gamma_kernel(bytes_ref, up_ref, t1_ref, t0_ref, g_ref, *, dtype):
     def _():
         g_ref[:] = jnp.zeros_like(g_ref)
 
-    t1 = t1_ref[:].astype(dtype)
-    t0 = t0_ref[:].astype(dtype)
-    blk = bytes_ref[:]
-    for s in range(4):
-        u_s = up_ref[s].astype(dtype)
-        a1, a0 = _plane_counts(blk, s, dtype)
-        d1 = jax.lax.dot_general(
-            t1, u_s, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        d0 = jax.lax.dot_general(
-            t0, u_s, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        r1 = (a1.astype(jnp.float32) / (d1 + _EPS)).astype(dtype)
-        r0 = (a0.astype(jnp.float32) / (d0 + _EPS)).astype(dtype)
-        # (TW, K) partial: r^T @ t
-        g_ref[s] += (
-            jax.lax.dot_general(
-                r1, t1, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(
-                r0, t0, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        )
+    t_cat = jnp.concatenate(
+        [t1_ref[:].astype(dtype), t0_ref[:].astype(dtype)], axis=0)
+    r, _ = _ratios_tile(bytes_ref[:], up_ref, t_cat, dtype)
+    tw = up_ref.shape[1]
+    k = up_ref.shape[2]
+    g_ref[:] += jax.lax.dot_general(
+        r, t_cat, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(4, tw, k)
 
 
 def _tiles(b, w, tb, tw):
