@@ -70,8 +70,10 @@ def main():
         theta[sl] = (g / g.sum(1, keepdims=True)).astype(np.float32)
     packed = np.empty((l, (n + 3) // 4), np.uint8)
     beta_true = np.empty((l, k), np.float32)
-    for j0 in range(0, l, 1 << 16):
-        j1 = min(j0 + (1 << 16), l)
+    # SNP-chunk size bounded so the (n, chunk) f32 temporaries stay ~2 GB.
+    jchunk = max(1024, min(1 << 16, (1 << 29) // max(n, 1)))
+    for j0 in range(0, l, jchunk):
+        j1 = min(j0 + jchunk, l)
         beta = np.clip(rng.beta(1, 1, size=(j1 - j0, k)), 1e-4,
                        1 - 1e-4).astype(np.float32)
         beta_true[j0:j1] = beta
@@ -84,26 +86,32 @@ def main():
     data = GenotypeData(n=n, l=l, packed=packed)
     # carve eval sets from the packed matrix (COO over a sample of entries)
     t0 = time.time()
-    n_eval = max(int(0.005 * n * l), 100)
+    # Cap the eval sets: scoring cost is O(set size), and a few hundred
+    # thousand entries already give MC error ~1e-3 nats.
+    n_eval = min(max(int(0.005 * n * l), 100), 200_000)
     from terastructure_tpu.data.pack import unpack2bit
     from terastructure_tpu.data.dataset import EntrySet
     from terastructure_tpu.models.psd import MISSING
 
     ii = rng.integers(0, n, size=2 * n_eval).astype(np.int32)
     jj = rng.integers(0, l, size=2 * n_eval).astype(np.int32)
-    xs = np.empty(2 * n_eval, np.int8)
-    for t_i in range(2 * n_eval):          # small relative to n*l
-        b = packed[jj[t_i], ii[t_i] >> 2]
-        xs[t_i] = (b >> (2 * (int(ii[t_i]) & 3))) & 3
+    # drop duplicate (i, j) pairs so the MISSING recode can't leak one
+    # eval set's entry into the other
+    _, uniq_pos = np.unique(ii.astype(np.int64) * l + jj, return_index=True)
+    ii, jj = ii[uniq_pos], jj[uniq_pos]
+    byte = packed[jj, ii >> 2]
+    shift = (2 * (ii & 3)).astype(np.uint8)
+    xs = ((byte >> shift) & 3).astype(np.int8)
     keep = xs != MISSING
     ii, jj, xs = ii[keep], jj[keep], xs[keep]
     half = len(xs) // 2
     data.validation = EntrySet(ii[:half], jj[:half], xs[:half])
     data.heldout = EntrySet(ii[half:], jj[half:], xs[half:])
-    for i_, j_ in zip(ii, jj):             # recode as MISSING in training
-        byte = packed[j_, i_ >> 2]
-        shift = 2 * (int(i_) & 3)
-        packed[j_, i_ >> 2] = (byte & (0xFF ^ (0x3 << shift))) | (0x3 << shift)
+    # recode as MISSING in the training matrix (vectorized RMW)
+    packed[jj, ii >> 2] = (
+        (packed[jj, ii >> 2] & (0xFF ^ (np.uint8(3) << shift)))
+        | (np.uint8(3) << shift)
+    ).astype(np.uint8)
     eval_s = time.time() - t0
 
     if args.config == 4:

@@ -286,7 +286,53 @@ def cmd_validate(args):
     print(json.dumps(out))
 
 
+def _translate_legacy(argv):
+    """Translate reference-binary flags to the fit subcommand.
+
+    The upstream CLI (src/main.cc, SURVEY.md §2) looks like
+        terastructure -file g.bed -n 1000 -l 10000 -k 3 -label x \\
+                      -rfreq 100 -seed 7 [-force] [-compute-beta]
+    Detected when the first token is a reference-style flag.
+    """
+    known = {"-file", "-n", "-l", "-k", "-label", "-rfreq", "-seed",
+             "-force", "-compute-beta", "-nthreads", "-idfile"}
+    if not argv or argv[0] not in known:
+        return None
+    flags = {}
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if tok in ("-force", "-compute-beta"):
+            flags[tok] = True
+            i += 1
+        elif tok in known:
+            flags[tok] = argv[i + 1]
+            i += 2
+        else:
+            i += 1
+    if "-file" not in flags or "-k" not in flags:
+        raise SystemExit("legacy mode needs at least -file and -k")
+    out = ["fit", "--bed", flags["-file"], "-k", str(flags["-k"])]
+    if flags.get("-compute-beta"):
+        raise SystemExit(
+            "legacy -compute-beta: use `compute-beta --run-dir ... --bed ...`")
+    if "-label" in flags:
+        out += ["--label", flags["-label"]]
+    if "-rfreq" in flags:
+        out += ["--rfreq", str(flags["-rfreq"])]
+    if "-seed" in flags:
+        out += ["--seed", str(flags["-seed"])]
+    # -n/-l are read from .fam/.bim; -nthreads is meaningless on TPU.
+    return out
+
+
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+    legacy = _translate_legacy(list(argv))
+    if legacy is not None:
+        print(f"[legacy flags] -> {' '.join(legacy)}", file=sys.stderr)
+        argv = legacy
     ap = argparse.ArgumentParser(
         prog="terastructure_tpu",
         description="TPU-native SVI for the PSD/admixture model",

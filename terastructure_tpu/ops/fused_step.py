@@ -2,24 +2,29 @@
 
 Design: at per-chip batch scale the ENTIRE local problem fits in VMEM
 (packed rows B*W bytes, u_planes 4*W*K f32, lambda_B B*K*2 f32), so one
-Pallas program per SVI step can:
-
-  1. DMA the B sampled genotype rows straight out of the HBM-resident
-     packed matrix (row indices arrive via scalar prefetch — no XLA
-     gather, which is latency-bound at ~0.6 us/row on v5e);
-  2. run the whole phi<->lambda coordinate-ascent loop on-chip
-     (digamma included — see `digamma` below), tiling the (B, 4W)
-     mixture-denominator work over W so temporaries stay ~2 MB;
-  3. emit the converged lambda_B and the planar gamma statistics.
+Pallas program per SVI step runs the whole phi<->lambda coordinate-
+ascent loop on-chip (digamma included — see `digamma` below), tiling
+the (B, 4W) mixture-denominator work over W, and emits the converged
+lambda_B plus the planar gamma statistics.
 
 vs the per-iteration kernels (stats_pallas.py) this removes the XLA
 lambda gather/scatter (~1.4 ms/step at L=1M) and ~16 rounds of kernel
 launch + small-op glue (~70 us/iter measured). The per-iteration path
 remains for shapes whose rows exceed the VMEM budget.
 
+Minibatch rows arrive either XLA-gathered (`fused_local_solve`) or via
+in-kernel DMA of aligned (g, W) row groups with scalar-prefetched
+indices (`fused_local_solve_dma`; Mosaic forbids per-row slices of a
+tiled HBM memref, so only group granularities >= 8 are possible —
+measured on par with the XLA gather at B=1024, kept for multi-host
+experiments where gather latency compounds).
+
 Cold start: lambda_B initializes from the Beta prior inside the kernel —
 lambda is a *local* variable of the sampled SNPs (SURVEY.md §1.2; the
 stored-lambda warm start is an engine option handled outside).
+
+Measured (1x v5e, 2504 x 1M K=8): 2.0 ms/step at B=1024, 4.0 ms at
+B=4096 (1.1M SNP-updates/s); dense-XLA path 3.3-4.3 ms at B=1024.
 """
 
 from __future__ import annotations

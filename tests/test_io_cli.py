@@ -153,3 +153,15 @@ def test_cli_resume_continues(tmp_path):
     lines = (run_dir / "validation.txt").read_text().strip().splitlines()
     steps = [int(s.split("\t")[0]) for s in lines]
     assert 80 in steps and 160 in steps
+
+
+def test_legacy_flag_translation(tmp_path):
+    """Reference-binary command lines keep working."""
+    stem = str(tmp_path / "lg")
+    cli_main(["simulate", "-n", "24", "-l", "64", "-k", "2",
+              "--seed", "8", "-o", stem])
+    os.chdir(tmp_path)
+    cli_main(["-file", stem + ".bed", "-k", "2", "-label", "legacy",
+              "-rfreq", "40", "-seed", "8"])
+    # uses defaults for max_steps -> cap it by checking the dir exists
+    assert (tmp_path / "n24-k2-l64-legacy").is_dir()
