@@ -54,11 +54,22 @@ def mcmc_moments(x, k, *, alpha, sampler="nuts", seed=0, n_samples=600,
             n_particles=n_particles, **kw)
         samples = particles
     else:
+        n_chains = kw.pop("n_chains", 1)
         k1, k2 = jax.random.split(key)
-        params0 = init_params(pot, k1, k=k)
+        params0 = init_params(pot, k1, k=k,
+                              n_chains=n_chains if n_chains > 1 else 0)
         runner = run_nuts if sampler == "nuts" else run_hmc
         samples, diag = runner(
-            k2, pot, params0, n_samples=n_samples, n_warmup=n_warmup, **kw)
+            k2, pot, params0, n_samples=n_samples, n_warmup=n_warmup,
+            n_chains=n_chains, **kw)
+        if n_chains > 1:
+            from terastructure_tpu.mcmc.diagnostics import summarize
+
+            diag = dict(diag)
+            diag["convergence"] = summarize(samples, max_params=64)
+            # merge the chain axis into draws for the moment estimates
+            samples = jax.tree.map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), samples)
     g = jnp.exp(samples["z_theta"])
     theta = g / jnp.sum(g, axis=-1, keepdims=True)
     beta = jax.nn.sigmoid(samples["z_beta"])

@@ -29,3 +29,16 @@ def test_svi_vs_smc_moments_agree():
     )
     assert rep.theta_mae < 0.08, rep.theta_mae
     assert rep.beta_mae < 0.12, rep.beta_mae
+
+
+def test_multichain_validator_reports_convergence():
+    _, _, x = simulate_psd(30, 80, 2, seed=23, structured=True)
+    from terastructure_tpu.mcmc.validate import mcmc_moments
+
+    theta_m, beta_m, diag = mcmc_moments(
+        x, 2, alpha=0.5, sampler="nuts", seed=23,
+        n_samples=150, n_warmup=150, n_chains=2, max_depth=6)
+    assert "convergence" in diag
+    conv = diag["convergence"]
+    assert all(v["min_ess"] > 5 for v in conv.values())
+    assert theta_m.shape == (30, 2)
