@@ -86,9 +86,12 @@ def main():
     data = GenotypeData(n=n, l=l, packed=packed)
     # carve eval sets from the packed matrix (COO over a sample of entries)
     t0 = time.time()
-    # Cap the eval sets: scoring cost is O(set size), and a few hundred
-    # thousand entries already give MC error ~1e-3 nats.
-    n_eval = min(max(int(0.005 * n * l), 100), 200_000)
+    # Cap the eval sets: local-mode scoring re-solves each unique eval
+    # SNP's lambda against all N individuals, so bound entries by an
+    # O(N * entries) work budget; the fixed entry set keeps convergence
+    # detection smooth regardless of its absolute MC error.
+    n_eval = min(max(int(0.005 * n * l), 100), 200_000,
+                 max(20_000, int(2e9 / max(n, 1))))
     from terastructure_tpu.data.pack import unpack2bit
     from terastructure_tpu.data.dataset import EntrySet
     from terastructure_tpu.models.psd import MISSING

@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from terastructure_tpu.config import SVIConfig
 from terastructure_tpu.data.pack import unpack2bit_jnp
@@ -334,14 +335,17 @@ def make_entry_loglik_recompute(cfg: SVIConfig, eval_rows, row_of_entry,
     """
     from terastructure_tpu.svi.postprocess import solve_lambda_blocks
 
-    eval_rows = jnp.asarray(eval_rows)
-    row_of_entry = jnp.asarray(row_of_entry)
-    ind_idx = jnp.asarray(ind_idx)
-    x = jnp.asarray(x)
+    # Device-put ONCE and pass as jit arguments — closing over them
+    # captures multi-GB constants in the lowered program (observed
+    # 2.17 GB at N=100K), which crawls through the remote compiler.
+    eval_rows = jax.device_put(np.asarray(eval_rows))
+    row_of_entry = jax.device_put(np.asarray(row_of_entry))
+    ind_idx = jax.device_put(np.asarray(ind_idx))
+    x = jax.device_put(np.asarray(x))
     w = eval_rows.shape[1]
 
     @jax.jit
-    def f(gamma):
+    def f(gamma, eval_rows, row_of_entry, ind_idx, x):
         u = ops.exp_elog_theta(gamma)
         if u.shape[0] != 4 * w:
             u = jnp.pad(u, ((0, 4 * w - u.shape[0]), (0, 0)),
@@ -352,4 +356,4 @@ def make_entry_loglik_recompute(cfg: SVIConfig, eval_rows, row_of_entry,
         p = jnp.sum(th * beta[row_of_entry], axis=-1)
         return jnp.mean(psd.binomial2_loglik(x, p))
 
-    return f
+    return lambda gamma: f(gamma, eval_rows, row_of_entry, ind_idx, x)

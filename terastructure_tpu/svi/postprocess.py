@@ -49,7 +49,28 @@ def solve_lambda_blocks(cfg: SVIConfig, u, packed_rows, *,
         axis=-1,
     )
 
+    # On TPU use the per-iteration Pallas kernels (the dense path
+    # materializes (block, N) float intermediates — prohibitive HBM
+    # churn for big N); dense elsewhere / in interpret-less CPU tests.
+    use_pallas = (jax.default_backend() == "tpu" and n % 512 == 0
+                  and block % 8 == 0 and (n // 4) % 128 == 0)
+
     def solve_block(rows):
+        if use_pallas:
+            from terastructure_tpu.ops import stats_pallas as pk
+
+            tb, tw = pk.pick_tiles(block, n // 4)
+            u_planes = pk.u_to_planes(u)
+            lam = pk.local_solve_packed(
+                rows, u, lamb0,
+                beta_a=cfg.beta_a, beta_b=cfg.beta_b,
+                local_iters=cfg.local_iters, local_tol=cfg.local_tol,
+                tb=tb, tw=tw, dtype=dtype)
+            e1, e0 = ops.exp_elog_beta(lam)
+            l0, l1 = pk.lambda_stats_packed(
+                rows, u_planes, e1, e0, tb=tb, tw=tw, dtype=dtype)
+            return jnp.stack(
+                [cfg.beta_a + e1 * l0, cfg.beta_b + e0 * l1], axis=-1)
         xb = unpack2bit_jnp(rows, n)
         a1, a0 = ops.allele_counts(xb, jnp.float32)
         lam = ops.local_solve(
