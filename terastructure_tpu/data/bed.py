@@ -83,11 +83,17 @@ def read_bed(
     l: Optional[int] = None,
     *,
     native: bool = True,
+    byte_cols: Optional[tuple[int, int]] = None,
 ) -> tuple[np.ndarray, Optional[list], Optional[list]]:
     """Read a PLINK .bed (+ sibling .fam/.bim when n/l not given).
 
     Returns (packed, ind_ids, snp_ids) where packed is uint8
     (l, ceil(n/4)) in our code space, SNP-major, ready for the engine.
+
+    byte_cols=(lo, hi) reads only that byte-column range of every SNP
+    row via memmap — the multi-host ingest path where each host loads
+    just its individuals' columns (parallel/multihost.host_byte_slice)
+    without touching the rest of a biobank-scale file.
     """
     stem, ext = os.path.splitext(path)
     if ext != ".bed":
@@ -109,25 +115,35 @@ def read_bed(
             raise ValueError(
                 f"{path}: individual-major .bed not supported (mode {header[2]})"
             )
-        raw = np.fromfile(f, dtype=np.uint8)
     expected = l * w_bed
-    if raw.size != expected:
+    size = os.path.getsize(path) - 3
+    if size != expected:
         raise ValueError(
-            f"{path}: size mismatch, got {raw.size} genotype bytes, "
+            f"{path}: size mismatch, got {size} genotype bytes, "
             f"expected {expected} for n={n} l={l}"
         )
-    raw = raw.reshape(l, w_bed)
+    mm = np.memmap(path, dtype=np.uint8, mode="r", offset=3,
+                   shape=(l, w_bed))
+    if byte_cols is not None:
+        lo, hi = byte_cols
+        raw = np.ascontiguousarray(mm[:, lo:hi])
+        last = hi >= w_bed
+    else:
+        raw = np.asarray(mm)
+        last = True
 
     if native:
         try:
             from terastructure_tpu.native import bed_translate
 
             out = bed_translate(raw)
-            return _fix_padding(out, n), ind_ids, snp_ids
         except ImportError:
-            pass
-    out = _LUT[raw]
-    return _fix_padding(out, n), ind_ids, snp_ids
+            out = _LUT[raw]
+    else:
+        out = _LUT[raw]
+    if last:
+        out = _fix_padding(out, n)
+    return out, ind_ids, snp_ids
 
 
 def _fix_padding(packed: np.ndarray, n: int) -> np.ndarray:

@@ -165,3 +165,14 @@ def test_legacy_flag_translation(tmp_path):
               "-rfreq", "40", "-seed", "8"])
     # uses defaults for max_steps -> cap it by checking the dir exists
     assert (tmp_path / "n24-k2-l64-legacy").is_dir()
+
+
+def test_bed_byte_cols_slice(tmp_path, rng):
+    """Multi-host ingest: column-sliced read matches the full read."""
+    n, l = 32, 50
+    x = rng.integers(0, 4, size=(l, n)).astype(np.int8)
+    stem = str(tmp_path / "cols")
+    write_bed(stem + ".bed", pack2bit(x), n)
+    full, _, _ = read_bed(stem + ".bed", n=n, l=l)
+    part, _, _ = read_bed(stem + ".bed", n=n, l=l, byte_cols=(2, 6))
+    np.testing.assert_array_equal(part, full[:, 2:6])
