@@ -367,6 +367,14 @@ def main(argv=None):
     p.add_argument("-o", "--out", required=True, help="output path stem")
     p.set_defaults(fn=cmd_simulate)
 
+    p = sub.add_parser("plot", help="STRUCTURE-style admixture bar plot")
+    p.add_argument("source", help="run dir (with theta.txt) or a theta.txt")
+    p.add_argument("-o", "--out", default="admixture.png")
+    p.add_argument("--no-sort", action="store_true")
+    p.set_defaults(fn=lambda a: __import__(
+        "terastructure_tpu.viz", fromlist=["main"]).main(
+            [a.source, "-o", a.out] + (["--no-sort"] if a.no_sort else [])))
+
     p = sub.add_parser("validate", help="SVI vs NUTS/HMC/SMC moments")
     _add_data_args(p)
     _add_model_args(p)

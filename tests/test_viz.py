@@ -16,3 +16,14 @@ def test_viz_cli_from_run_dir(tmp_path, rng):
     out = str(tmp_path / "plot.png")
     viz_main([str(tmp_path), "-o", out])
     assert (tmp_path / "plot.png").stat().st_size > 1000
+
+
+def test_cli_plot_subcommand(tmp_path, rng):
+    from terastructure_tpu.cli import main as cli_main
+    from terastructure_tpu.io.export import _write_matrix
+
+    theta = rng.dirichlet(np.ones(2), size=20)
+    _write_matrix(str(tmp_path / "theta.txt"), theta)
+    out = str(tmp_path / "p.png")
+    cli_main(["plot", str(tmp_path), "-o", out])
+    assert (tmp_path / "p.png").exists()
