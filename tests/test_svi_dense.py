@@ -151,3 +151,23 @@ def test_group_sampling_consistency(rng):
     np.testing.assert_allclose(np.asarray(lamb2[idx]), np.asarray(new))
     mask = np.ones(l_big, bool); mask[np.asarray(idx)] = False
     np.testing.assert_allclose(np.asarray(lamb2)[mask], np.asarray(lamb)[mask])
+
+
+def test_kernel_resolution_and_fallback(rng):
+    """'auto' resolves per backend; fused falls back when shapes don't fit."""
+    from terastructure_tpu.svi.engine import _resolve_kernel
+    import jax
+
+    cfg = SVIConfig(n=32, l=64, k=2, batch_size=8)
+    # on the CPU test backend auto -> dense
+    assert jax.default_backend() == "cpu"
+    assert _resolve_kernel(cfg) == "dense"
+    assert _resolve_kernel(cfg.replace(kernel="pallas")) == "pallas"
+
+    # requesting fused on an unsupported shape silently falls back and
+    # still computes correctly (ragged W)
+    _, _, x = simulate_psd(33, 64, 2, seed=11)
+    data = GenotypeData.from_dense(x, validation_frac=0, heldout_frac=0, seed=11)
+    cfg2 = SVIConfig(n=33, l=64, k=2, batch_size=8, seed=11, kernel="fused")
+    s = engine.make_step(cfg2)(engine.init_state(cfg2), jnp.asarray(data.packed))
+    assert np.isfinite(np.asarray(s.gamma)).all()
