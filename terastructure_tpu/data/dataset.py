@@ -49,6 +49,11 @@ class GenotypeData:
     ind_ids: Optional[list] = None        # individual labels (.indv file)
     snp_ids: Optional[list] = None
 
+    # Per-set eval cap: scoring cost is O(set size) (and, in the 'local'
+    # lambda mode, O(N * unique eval SNPs)); ~500K entries already give
+    # MC error ~1e-3 nats while biobank matrices have billions.
+    MAX_EVAL_ENTRIES = 500_000
+
     @classmethod
     def from_dense(
         cls,
@@ -59,29 +64,50 @@ class GenotypeData:
         seed: int = 0,
         ind_ids=None,
         snp_ids=None,
+        max_eval_entries: Optional[int] = None,
     ) -> "GenotypeData":
         n, l = x.shape
         xt = np.ascontiguousarray(x.T).astype(np.int8)   # (l, n) SNP-major
         rng = np.random.default_rng(seed + 1_000_003)
+        cap = (cls.MAX_EVAL_ENTRIES if max_eval_entries is None
+               else max_eval_entries)
 
-        obs_j, obs_i = np.nonzero(xt != MISSING)         # (nnz,) each
-        nnz = len(obs_i)
-        n_val = int(round(validation_frac * nnz))
-        n_held = int(round(heldout_frac * nnz))
-        take = rng.choice(nnz, size=n_val + n_held, replace=False)
+        # Entry counts from the missing rate (sampled estimate at biobank
+        # scale — exact nnz would need a full pass; the fractions are
+        # approximate targets anyway).
+        if xt.size > (1 << 26):
+            probe = rng.integers(0, xt.size, size=1 << 20)
+            miss_rate = float((xt.ravel()[probe] == MISSING).mean())
+        else:
+            miss_rate = float((xt == MISSING).mean())
+        nnz = int(xt.size * (1.0 - miss_rate))
+        n_val = min(int(round(validation_frac * nnz)), cap)
+        n_held = min(int(round(heldout_frac * nnz)), cap)
+
+        # Rejection-sample distinct non-missing entries — never
+        # materializes np.nonzero of the full matrix (2 x int64 x n*l).
+        want = n_val + n_held
+        ii = np.empty(0, np.int64)
+        while len(ii) < want and want:
+            m = int((want - len(ii) + 1024) / max(1.0 - miss_rate, 1e-6) * 1.2)
+            ci = rng.integers(0, n, size=m)
+            cj = rng.integers(0, l, size=m)
+            ok = xt[cj, ci] != MISSING
+            cand = np.concatenate([ii, cj[ok] * np.int64(n) + ci[ok]])
+            ii = np.unique(cand)                         # sorted, distinct
+        if want:
+            ii = rng.permutation(ii)[:want]
+        obs_j, obs_i = ii // n, ii % n
 
         def make(sel):
-            i, j = obs_i[sel], obs_j[sel]
-            es = EntrySet(
-                ind_idx=i.astype(np.int32),
-                snp_idx=j.astype(np.int32),
-                x=xt[j, i].copy(),
-            )
+            i = obs_i[sel].astype(np.int32)
+            j = obs_j[sel].astype(np.int32)
+            es = EntrySet(ind_idx=i, snp_idx=j, x=xt[j, i].copy())
             xt[j, i] = MISSING                           # exclude from training
             return es
 
-        validation = make(take[:n_val]) if n_val else None
-        heldout = make(take[n_val:]) if n_held else None
+        validation = make(slice(0, n_val)) if n_val else None
+        heldout = make(slice(n_val, want)) if n_held else None
         return cls(
             n=n, l=l, packed=pack2bit(xt),
             validation=validation, heldout=heldout,
