@@ -260,7 +260,10 @@ def cmd_simulate(args):
     write_fam(args.out + ".fam", [f"ind{i}" for i in range(args.n)])
     write_bim(args.out + ".bim", [f"snp{j}" for j in range(args.l)])
     _write_matrix(args.out + ".theta_true.txt", theta)
-    _write_matrix(args.out + ".beta_true.txt", beta)
+    if args.l <= 100_000:
+        _write_matrix(args.out + ".beta_true.txt", beta)
+    else:  # text export of 1M-row matrices takes minutes; npy is instant
+        np.save(args.out + ".beta_true.npy", beta)
     print(args.out + ".bed")
 
 
