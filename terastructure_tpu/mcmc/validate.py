@@ -65,8 +65,18 @@ def mcmc_moments(x, k, *, alpha, sampler="nuts", seed=0, n_samples=600,
         if n_chains > 1:
             from terastructure_tpu.mcmc.diagnostics import summarize
 
+            # Diagnose on the CONSTRAINED parameters: unconstrained
+            # z_theta coordinates of near-zero theta components wander
+            # freely in log space (the likelihood is flat there), which
+            # inflates z-space R-hat by orders of magnitude without
+            # affecting theta/beta.
+            g = jnp.exp(samples["z_theta"])
+            constrained = {
+                "theta": g / jnp.sum(g, axis=-1, keepdims=True),
+                "beta": jax.nn.sigmoid(samples["z_beta"]),
+            }
             diag = dict(diag)
-            diag["convergence"] = summarize(samples, max_params=64)
+            diag["convergence"] = summarize(constrained, max_params=64)
             # merge the chain axis into draws for the moment estimates
             samples = jax.tree.map(
                 lambda a: a.reshape((-1,) + a.shape[2:]), samples)
