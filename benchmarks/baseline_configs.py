@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--max-steps", type=int, default=0,
                     help="override step cap (default: until convergence)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--missing-frac", type=float, default=0.0,
+                    help="simulate this fraction of missing genotypes "
+                         "(real data is 1-5%% missing)")
     args = ap.parse_args()
 
     spec = CONFIGS[args.config]
@@ -80,41 +83,24 @@ def main():
         p = np.clip(theta @ beta.T, 0, 1)
         x = ((rng.random(p.shape, np.float32) < p).astype(np.int8)
              + (rng.random(p.shape, np.float32) < p).astype(np.int8)).T
+        if args.missing_frac > 0:
+            x[rng.random(x.shape, np.float32) < args.missing_frac] = 3
         packed[j0:j1] = pack2bit(x)
     sim_s = time.time() - t0
 
-    data = GenotypeData(n=n, l=l, packed=packed)
-    # carve eval sets from the packed matrix (COO over a sample of entries)
+    # Packed-native eval carve (data/dataset.py): entry count is capped
+    # only by MC-error needs; at big N the UNIQUE eval SNPs are pooled so
+    # local-mode scoring (O(N * uniq SNPs) lambda re-solve per check)
+    # stays within the step budget without capping entries.
     t0 = time.time()
-    # Cap the eval sets: local-mode scoring re-solves each unique eval
-    # SNP's lambda against all N individuals, so bound entries by an
-    # O(N * entries) work budget; the fixed entry set keeps convergence
-    # detection smooth regardless of its absolute MC error.
-    n_eval = min(max(int(0.005 * n * l), 100), 200_000,
-                 max(20_000, int(2e9 / max(n, 1))))
+    n_eval = min(max(int(0.005 * n * l), 100), 200_000)
+    pool = 2048 if n >= 50_000 else 0
+    data = GenotypeData.from_packed(
+        packed, n, seed=args.seed,
+        validation_frac=0.005, heldout_frac=0.005,
+        max_eval_entries=n_eval, eval_snp_pool=pool,
+    )
     from terastructure_tpu.data.pack import unpack2bit
-    from terastructure_tpu.data.dataset import EntrySet
-    from terastructure_tpu.models.psd import MISSING
-
-    ii = rng.integers(0, n, size=2 * n_eval).astype(np.int32)
-    jj = rng.integers(0, l, size=2 * n_eval).astype(np.int32)
-    # drop duplicate (i, j) pairs so the MISSING recode can't leak one
-    # eval set's entry into the other
-    _, uniq_pos = np.unique(ii.astype(np.int64) * l + jj, return_index=True)
-    ii, jj = ii[uniq_pos], jj[uniq_pos]
-    byte = packed[jj, ii >> 2]
-    shift = (2 * (ii & 3)).astype(np.uint8)
-    xs = ((byte >> shift) & 3).astype(np.int8)
-    keep = xs != MISSING
-    ii, jj, xs = ii[keep], jj[keep], xs[keep]
-    half = len(xs) // 2
-    data.validation = EntrySet(ii[:half], jj[:half], xs[:half])
-    data.heldout = EntrySet(ii[half:], jj[half:], xs[half:])
-    # recode as MISSING in the training matrix (vectorized RMW)
-    packed[jj, ii >> 2] = (
-        (packed[jj, ii >> 2] & (0xFF ^ (np.uint8(3) << shift)))
-        | (np.uint8(3) << shift)
-    ).astype(np.uint8)
     eval_s = time.time() - t0
 
     if args.config == 4:
@@ -150,6 +136,7 @@ def main():
     theta_hat = np.asarray(psd.theta_mean(res.state.gamma))[:n]
     print(json.dumps(dict(
         config=spec["name"], scale=args.scale, n=n, l=l, k=k,
+        missing_frac=args.missing_frac,
         converged=res.converged, steps=res.steps,
         validation_ll=round(res.validation_ll, 6),
         heldout_ll=round(res.heldout_ll, 6) if res.heldout_ll else None,

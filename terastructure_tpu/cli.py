@@ -61,6 +61,16 @@ def _add_svi_args(p):
                    help="mesh axis over SNPs (chips); 0 = auto")
     p.add_argument("--force-cpu", action="store_true",
                    help="run on CPU (tests/debug)")
+    p.add_argument("--eval-snp-pool", type=int, default=0,
+                   help="restrict eval entries to this many unique SNPs "
+                        "(bounds local-mode eval cost at big N; 0 = off)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize (TPU pods "
+                        "auto-detect; otherwise pass --coordinator)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (implies --distributed)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
 
 
 def _add_data_args(p):
@@ -82,34 +92,34 @@ def _force_cpu():
 
 def _load_data(args, *, seed: int):
     from terastructure_tpu.data import GenotypeData
-    from terastructure_tpu.data.bed import read_bed, read_text_genotypes
+    from terastructure_tpu.data.bed import read_text_genotypes
     from terastructure_tpu.data.dataset import EntrySet  # noqa: F401
     from terastructure_tpu.data.simulate import simulate_psd
 
     vf = getattr(args, "validation_frac", 0.005)
     hf = getattr(args, "heldout_frac", 0.005)
+    pool = getattr(args, "eval_snp_pool", 0)
     if args.bed:
-        packed, ind_ids, snp_ids = read_bed(args.bed)
-        from terastructure_tpu.data.pack import unpack2bit
-
-        x = unpack2bit(packed, len(ind_ids)).T         # (N, L) dense
-        data = GenotypeData.from_dense(
-            x, validation_frac=vf, heldout_frac=hf, seed=seed,
-            ind_ids=ind_ids, snp_ids=snp_ids,
-        )
+        # Packed-native ingest: .bed -> 2-bit working layout directly,
+        # peak host RSS O(packed) not O(dense) (reference SNP::read_bed).
+        data = GenotypeData.from_bed(
+            args.bed, validation_frac=vf, heldout_frac=hf, seed=seed,
+            eval_snp_pool=pool)
     elif args.txt:
         x = read_text_genotypes(args.txt).T            # (N, L)
         if args.n and x.shape[0] != args.n:
             raise SystemExit(
                 f"-n {args.n} does not match {x.shape[0]} individuals in {args.txt}")
         data = GenotypeData.from_dense(
-            x, validation_frac=vf, heldout_frac=hf, seed=seed)
+            x, validation_frac=vf, heldout_frac=hf, seed=seed,
+            eval_snp_pool=pool)
     else:
         if not (args.n and args.l):
             raise SystemExit("--simulate requires -n and -l")
         _, _, x = simulate_psd(args.n, args.l, args.k, seed=seed)
         data = GenotypeData.from_dense(
-            x, validation_frac=vf, heldout_frac=hf, seed=seed)
+            x, validation_frac=vf, heldout_frac=hf, seed=seed,
+            eval_snp_pool=pool)
     return data
 
 
@@ -132,19 +142,13 @@ def _setup_run_dir(cfg, base):
     return run_dir
 
 
-def cmd_fit(args):
-    if args.force_cpu:
-        _force_cpu()
+def _cfg_from_args(args, n, l):
     from terastructure_tpu.config import SVIConfig
-    from terastructure_tpu.io.checkpoint import save_checkpoint
-    from terastructure_tpu.io.export import save_model
-    from terastructure_tpu.svi import fit
 
-    data0 = _load_data(args, seed=args.seed)
-    cfg0 = SVIConfig(
-        n=data0.n, l=data0.l, k=args.k, alpha=args.alpha,
+    return SVIConfig(
+        n=n, l=l, k=args.k, alpha=args.alpha,
         beta_a=args.beta_a, beta_b=args.beta_b,
-        batch_size=min(args.batch_size, data0.l),
+        batch_size=min(args.batch_size, l),
         tau0=args.tau0, kappa=args.kappa, local_iters=args.local_iters,
         rfreq=args.rfreq, max_steps=args.max_steps,
         validation_frac=args.validation_frac,
@@ -154,6 +158,87 @@ def cmd_fit(args):
         ind_shards=args.ind_shards, snp_shards=args.snp_shards,
         seed=args.seed, label=args.label,
     )
+
+
+def _fit_multiprocess(args):
+    """Per-process body of a multi-host `fit` (SPMD — same on every host).
+
+    Each process ingests only its byte columns of the .bed
+    (multihost.load_bed_shard); the lead process writes the run dir with
+    gamma/theta text exports and result.json. Full per-SNP lambda/beta
+    come from the compute-beta post-pass.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from terastructure_tpu.data.bed import read_bim, read_fam
+    from terastructure_tpu.io.export import _write_matrix
+    from terastructure_tpu.parallel import mesh as meshlib
+    from terastructure_tpu.parallel import multihost
+    from terastructure_tpu.parallel.fit import fit_sharded
+
+    if not args.bed:
+        raise SystemExit("multi-process fit requires --bed")
+    stem = os.path.splitext(args.bed)[0]
+    ind_ids = read_fam(stem + ".fam")
+    snp_ids = read_bim(stem + ".bim")
+    cfg = _cfg_from_args(args, len(ind_ids), len(snp_ids))
+    lead = jax.process_index() == 0
+    spec = meshlib.choose_mesh_shape(
+        len(jax.devices()),
+        cfg.ind_shards or jax.process_count(), cfg.snp_shards)
+    mesh = meshlib.make_mesh(spec)
+    data = multihost.load_bed_shard(
+        args.bed, cfg, mesh,
+        validation_frac=cfg.validation_frac,
+        heldout_frac=cfg.heldout_frac,
+        eval_snp_pool=args.eval_snp_pool or 2048)
+    run_dir = _setup_run_dir(cfg, args.out_base) if lead else None
+    log = logging.getLogger("terastructure_tpu")
+    res = fit_sharded(
+        cfg, data, mesh=mesh,
+        metrics_path=os.path.join(run_dir, "metrics.jsonl") if lead else None,
+        trace_path=os.path.join(run_dir, "validation.txt") if lead else None,
+    )
+    rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+    gamma = np.asarray(rep(res.state.gamma).addressable_data(0))[: cfg.n]
+    if lead:
+        theta = gamma / gamma.sum(axis=1, keepdims=True)
+        _write_matrix(os.path.join(run_dir, "gamma.txt"), gamma, ind_ids)
+        _write_matrix(os.path.join(run_dir, "theta.txt"), theta, ind_ids)
+        with open(os.path.join(run_dir, "result.json"), "w") as f:
+            json.dump(
+                dict(seed=cfg.seed, converged=res.converged, steps=res.steps,
+                     validation_ll=res.validation_ll,
+                     heldout_ll=res.heldout_ll, wall_s=res.wall_s,
+                     processes=jax.process_count(),
+                     mesh=dict(ind=spec.ind, snp=spec.snp)),
+                f, indent=2)
+        log.info("multi-process fit done: %s", run_dir)
+        print(run_dir)
+
+
+def cmd_fit(args):
+    if args.force_cpu:
+        _force_cpu()
+    from terastructure_tpu.config import SVIConfig
+    from terastructure_tpu.io.checkpoint import save_checkpoint
+    from terastructure_tpu.io.export import save_model
+    from terastructure_tpu.svi import fit
+
+    distributed = args.distributed or args.coordinator is not None
+    if distributed:
+        from terastructure_tpu.parallel import multihost
+
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
+        import jax
+
+        if jax.process_count() > 1:
+            return _fit_multiprocess(args)
+
+    data0 = _load_data(args, seed=args.seed)
+    cfg0 = _cfg_from_args(args, data0.n, data0.l)
     run_dir = _setup_run_dir(cfg0, args.out_base)
     log = logging.getLogger("terastructure_tpu")
 

@@ -146,6 +146,31 @@ def read_bed(
     return out, ind_ids, snp_ids
 
 
+def read_bed_rows(path: str, n: int, l: int, rows: np.ndarray,
+                  *, native: bool = True) -> np.ndarray:
+    """Gather specific SNP rows (full width) from a .bed via memmap.
+
+    Used by the multi-host loader (parallel/multihost.load_bed_shard) to
+    give every host the complete genotype columns of the eval-SNP pool
+    without reading the rest of the file. Returns uint8 (len(rows), W)
+    in our code space.
+    """
+    w_bed = (n + 3) // 4
+    mm = np.memmap(path, dtype=np.uint8, mode="r", offset=3,
+                   shape=(l, w_bed))
+    raw = np.ascontiguousarray(mm[np.asarray(rows)])
+    if native:
+        try:
+            from terastructure_tpu.native import bed_translate
+
+            out = bed_translate(raw)
+        except ImportError:
+            out = _LUT[raw]
+    else:
+        out = _LUT[raw]
+    return _fix_padding(out, n)
+
+
 def _fix_padding(packed: np.ndarray, n: int) -> np.ndarray:
     """Force tail padding positions (beyond n) to MISSING (code 3).
 

@@ -12,17 +12,32 @@ validation entry sets and excludes them from updates (SURVEY.md §1.2 step 5,
 
 Two evaluation sets, as upstream: `validation` drives the convergence
 criterion during fitting; `heldout` (test) is scored only at the end.
+
+The canonical constructors are packed-native: `from_packed` carves the
+eval sets directly on the 2-bit matrix (no dense N x L materialization —
+the reference reads .bed straight into its working representation,
+SNP::read_bed, SURVEY.md §2.1; at biobank scale densifying first would
+need O(N*L) int8 = ~1 TB). `from_bed` = read_bed + from_packed;
+`from_dense` packs then delegates.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional
 
 import numpy as np
 
 from terastructure_tpu.data.pack import pack2bit, packed_width, unpack2bit
 from terastructure_tpu.models.psd import MISSING
+
+log = logging.getLogger("terastructure_tpu")
+
+# per-byte count of 2-bit codes equal to MISSING (0b11)
+_MISS_LUT = np.array(
+    [sum(((b >> (2 * s)) & 3) == MISSING for s in range(4))
+     for b in range(256)], dtype=np.uint8)
 
 
 @dataclasses.dataclass
@@ -37,22 +52,211 @@ class EntrySet:
         return len(self.x)
 
 
+def _lookup_packed(packed: np.ndarray, i: np.ndarray, j: np.ndarray):
+    """Genotype codes at entries (i, j) of the packed (L, W) matrix."""
+    byte = packed[j, i >> 2]
+    shift = (2 * (i & 3)).astype(np.uint8)
+    return ((byte >> shift) & 3).astype(np.int8)
+
+
+def _recode_missing_packed(packed: np.ndarray, i: np.ndarray, j: np.ndarray):
+    """Set entries (i, j) to MISSING in place (MISSING = 0b11: OR mask).
+
+    Duplicate (i, j) pairs are harmless (idempotent), but numpy fancy
+    in-place OR with duplicated indices drops repeats — callers pass
+    de-duplicated entries anyway.
+    """
+    shift = (2 * (i & 3)).astype(np.uint8)
+    np.bitwise_or.at(packed, (j, i >> 2), np.uint8(3) << shift)
+
+
+def _missing_rate(packed: np.ndarray, n: int, l: int,
+                  rng: np.random.Generator) -> float:
+    """Fraction of MISSING among the n*l real entries.
+
+    Exact via a per-byte popcount LUT when the matrix is small; sampled
+    estimate at biobank scale (one probe pass, ~1M entries).
+    """
+    if packed.size <= (1 << 24):
+        total_missing = int(_MISS_LUT[packed].sum())
+        # padding positions (beyond n in the last byte) are MISSING by
+        # construction and not real entries
+        pad = (4 * packed.shape[1] - n) * l
+        return max(total_missing - pad, 0) / max(n * l, 1)
+    probe = 1 << 20
+    pi = rng.integers(0, n, size=probe)
+    pj = rng.integers(0, l, size=probe)
+    return float((_lookup_packed(packed, pi, pj) == MISSING).mean())
+
+
+def _carve_entries(packed: np.ndarray, n: int, l: int, n_val: int,
+                   n_held: int, rng: np.random.Generator,
+                   snp_pool: int = 0):
+    """Sample distinct non-missing entries, split val/heldout, recode
+    MISSING in `packed` (in place). Returns (validation, heldout).
+
+    Rejection sampling against the packed matrix — never materializes
+    np.nonzero of the full matrix. The loop is bounded: if successive
+    rounds stop finding new entries (requested count exceeds the true
+    non-missing population), it truncates with a warning instead of
+    spinning forever.
+
+    snp_pool > 0 restricts all eval entries to a random pool of that many
+    SNPs: the 'local' lambda mode re-solves each unique eval SNP against
+    all N individuals per check, so bounding UNIQUE SNPs (not entries)
+    keeps eval cost O(snp_pool * N) while the entry count — which sets
+    the MC error of the convergence signal — stays large.
+    """
+    want = n_val + n_held
+    if not want:
+        return None, None
+    pool = None
+    if snp_pool and snp_pool < l:
+        pool = rng.choice(l, size=snp_pool, replace=False).astype(np.int64)
+    miss_rate = _missing_rate(packed, n, l, rng)
+    ii = np.empty(0, np.int64)
+    stall = 0
+    while len(ii) < want and stall < 3:
+        m = int((want - len(ii) + 1024) / max(1.0 - miss_rate, 1e-6) * 1.2)
+        ci = rng.integers(0, n, size=m)
+        if pool is None:
+            cj = rng.integers(0, l, size=m)
+        else:
+            cj = pool[rng.integers(0, len(pool), size=m)]
+        ok = _lookup_packed(packed, ci, cj) != MISSING
+        cand = np.concatenate([ii, cj[ok] * np.int64(n) + ci[ok]])
+        new = np.unique(cand)                            # sorted, distinct
+        stall = stall + 1 if len(new) == len(ii) else 0
+        ii = new
+    if len(ii) < want:
+        log.warning(
+            "eval carve: only %d distinct non-missing entries found "
+            "(requested %d); truncating eval sets proportionally",
+            len(ii), want)
+        n_val = int(round(len(ii) * n_val / want))
+        n_held = len(ii) - n_val
+        want = len(ii)
+    ii = rng.permutation(ii)[:want]
+    obs_j = (ii // n).astype(np.int32)
+    obs_i = (ii % n).astype(np.int32)
+
+    def make(sel):
+        i, j = obs_i[sel], obs_j[sel]
+        es = EntrySet(ind_idx=i, snp_idx=j,
+                      x=_lookup_packed(packed, i, j))
+        _recode_missing_packed(packed, i, j)             # exclude from training
+        return es
+
+    validation = make(slice(0, n_val)) if n_val else None
+    heldout = make(slice(n_val, want)) if n_held else None
+    return validation, heldout
+
+
 @dataclasses.dataclass
 class GenotypeData:
-    """Packed training matrix + eval sets. n individuals, l SNPs."""
+    """Packed training matrix + eval sets. n individuals, l SNPs.
+
+    `packed` may hold only a byte-column slice of the global matrix (the
+    multi-host ingest path — each host loads just its individuals'
+    columns, parallel/multihost.local_byte_cols); then `byte_col_offset`
+    records the slice origin and eval sets still index globally.
+    """
 
     n: int
     l: int
-    packed: np.ndarray                    # uint8 (l, ceil(n/4)), train codes
+    packed: np.ndarray                    # uint8 (l, W) train codes
     validation: Optional[EntrySet] = None
     heldout: Optional[EntrySet] = None
     ind_ids: Optional[list] = None        # individual labels (.indv file)
     snp_ids: Optional[list] = None
+    byte_col_offset: int = 0              # origin of packed's byte columns
+    # Full-width (all individuals) packed rows of the unique eval SNPs +
+    # their sorted SNP indices — set by the multi-host loader so 'local'
+    # lambda-mode scoring works when `packed` is a byte-column slice.
+    eval_rows_full: Optional[np.ndarray] = None   # (S, ceil(n/4)) uint8
+    eval_row_snps: Optional[np.ndarray] = None    # (S,) int32 sorted
 
-    # Per-set eval cap: scoring cost is O(set size) (and, in the 'local'
-    # lambda mode, O(N * unique eval SNPs)); ~500K entries already give
-    # MC error ~1e-3 nats while biobank matrices have billions.
+    # Per-set eval cap: scoring cost is O(set size) (plus a lambda
+    # re-solve over the unique eval SNPs in the 'local' lambda mode);
+    # ~500K entries already give MC error ~1e-3 nats while biobank
+    # matrices have billions.
     MAX_EVAL_ENTRIES = 500_000
+
+    @property
+    def is_local_slice(self) -> bool:
+        return (self.byte_col_offset != 0
+                or self.packed.shape[1] < packed_width(self.n))
+
+    @classmethod
+    def from_packed(
+        cls,
+        packed: np.ndarray,               # uint8 (l, ceil(n/4)), our codes
+        n: int,
+        *,
+        validation_frac: float = 0.005,
+        heldout_frac: float = 0.005,
+        seed: int = 0,
+        ind_ids=None,
+        snp_ids=None,
+        max_eval_entries: Optional[int] = None,
+        eval_snp_pool: int = 0,
+        copy: bool = False,
+    ) -> "GenotypeData":
+        """Carve eval sets directly on a packed matrix (mutated in place
+        unless copy=True) — the biobank-scale ingest path.
+
+        eval_snp_pool bounds the number of UNIQUE SNPs carrying eval
+        entries (see _carve_entries) — set it at big N so the 'local'
+        lambda mode's per-check eval stays cheap without capping entries.
+        """
+        l = packed.shape[0]
+        if packed.shape[1] != packed_width(n):
+            raise ValueError(
+                f"packed width {packed.shape[1]} != ceil({n}/4); for "
+                "byte-column slices construct GenotypeData directly")
+        if copy:
+            packed = packed.copy()
+        rng = np.random.default_rng(seed + 1_000_003)
+        cap = (cls.MAX_EVAL_ENTRIES if max_eval_entries is None
+               else max_eval_entries)
+        miss_rate = _missing_rate(packed, n, l, rng)
+        nnz = int(n * l * (1.0 - miss_rate))
+        n_val = min(int(round(validation_frac * nnz)), cap)
+        n_held = min(int(round(heldout_frac * nnz)), cap)
+        validation, heldout = _carve_entries(
+            packed, n, l, n_val, n_held, rng, snp_pool=eval_snp_pool)
+        return cls(
+            n=n, l=l, packed=packed,
+            validation=validation, heldout=heldout,
+            ind_ids=ind_ids, snp_ids=snp_ids,
+        )
+
+    @classmethod
+    def from_bed(
+        cls,
+        path: str,
+        *,
+        validation_frac: float = 0.005,
+        heldout_frac: float = 0.005,
+        seed: int = 0,
+        max_eval_entries: Optional[int] = None,
+        eval_snp_pool: int = 0,
+    ) -> "GenotypeData":
+        """PLINK .bed (+ sibling .fam/.bim) -> packed-native dataset.
+
+        Single-pass ingest straight into the working representation
+        (reference SNP::read_bed parity, SURVEY.md §2.1): peak host
+        memory is O(packed) = n*l/4 bytes, never the dense n*l.
+        """
+        from terastructure_tpu.data.bed import read_bed
+
+        packed, ind_ids, snp_ids = read_bed(path)
+        return cls.from_packed(
+            packed, len(ind_ids),
+            validation_frac=validation_frac, heldout_frac=heldout_frac,
+            seed=seed, ind_ids=ind_ids, snp_ids=snp_ids,
+            max_eval_entries=max_eval_entries, eval_snp_pool=eval_snp_pool,
+        )
 
     @classmethod
     def from_dense(
@@ -65,53 +269,15 @@ class GenotypeData:
         ind_ids=None,
         snp_ids=None,
         max_eval_entries: Optional[int] = None,
+        eval_snp_pool: int = 0,
     ) -> "GenotypeData":
         n, l = x.shape
         xt = np.ascontiguousarray(x.T).astype(np.int8)   # (l, n) SNP-major
-        rng = np.random.default_rng(seed + 1_000_003)
-        cap = (cls.MAX_EVAL_ENTRIES if max_eval_entries is None
-               else max_eval_entries)
-
-        # Entry counts from the missing rate (sampled estimate at biobank
-        # scale — exact nnz would need a full pass; the fractions are
-        # approximate targets anyway).
-        if xt.size > (1 << 26):
-            probe = rng.integers(0, xt.size, size=1 << 20)
-            miss_rate = float((xt.ravel()[probe] == MISSING).mean())
-        else:
-            miss_rate = float((xt == MISSING).mean())
-        nnz = int(xt.size * (1.0 - miss_rate))
-        n_val = min(int(round(validation_frac * nnz)), cap)
-        n_held = min(int(round(heldout_frac * nnz)), cap)
-
-        # Rejection-sample distinct non-missing entries — never
-        # materializes np.nonzero of the full matrix (2 x int64 x n*l).
-        want = n_val + n_held
-        ii = np.empty(0, np.int64)
-        while len(ii) < want and want:
-            m = int((want - len(ii) + 1024) / max(1.0 - miss_rate, 1e-6) * 1.2)
-            ci = rng.integers(0, n, size=m)
-            cj = rng.integers(0, l, size=m)
-            ok = xt[cj, ci] != MISSING
-            cand = np.concatenate([ii, cj[ok] * np.int64(n) + ci[ok]])
-            ii = np.unique(cand)                         # sorted, distinct
-        if want:
-            ii = rng.permutation(ii)[:want]
-        obs_j, obs_i = ii // n, ii % n
-
-        def make(sel):
-            i = obs_i[sel].astype(np.int32)
-            j = obs_j[sel].astype(np.int32)
-            es = EntrySet(ind_idx=i, snp_idx=j, x=xt[j, i].copy())
-            xt[j, i] = MISSING                           # exclude from training
-            return es
-
-        validation = make(slice(0, n_val)) if n_val else None
-        heldout = make(slice(n_val, want)) if n_held else None
-        return cls(
-            n=n, l=l, packed=pack2bit(xt),
-            validation=validation, heldout=heldout,
-            ind_ids=ind_ids, snp_ids=snp_ids,
+        return cls.from_packed(
+            pack2bit(xt), n,
+            validation_frac=validation_frac, heldout_frac=heldout_frac,
+            seed=seed, ind_ids=ind_ids, snp_ids=snp_ids,
+            max_eval_entries=max_eval_entries, eval_snp_pool=eval_snp_pool,
         )
 
     def dense(self) -> np.ndarray:

@@ -40,8 +40,13 @@ def ess(samples: np.ndarray) -> np.ndarray:
     x = x.reshape(m, n, -1)
     out = np.empty(x.shape[2])
     for p in range(x.shape[2]):
-        xc = x[:, :, p]
-        xc = xc - xc.mean(axis=1, keepdims=True)
+        xraw = x[:, :, p]
+        # Chain means/vars from the UNCENTERED split chains (Vehtari et al.
+        # 2021 eq. 3-4): B/n is the variance of per-chain means, which
+        # vanishes if computed after per-chain centering.
+        chain_means = xraw.mean(axis=1)
+        b_over_n = chain_means.var(ddof=1) if m > 1 else 0.0
+        xc = xraw - chain_means[:, None]
         # per-chain autocovariance via FFT
         fsize = 2 * n
         f = np.fft.rfft(xc, fsize, axis=1)
@@ -52,7 +57,6 @@ def ess(samples: np.ndarray) -> np.ndarray:
             out[p] = float("nan")
             continue
         mean_acov = acov.mean(axis=0)
-        b_over_n = xc.mean(axis=1).var(ddof=1) if m > 1 else 0.0
         var_hat = (n - 1) / n * w + b_over_n
         rho = 1.0 - (w - mean_acov) / var_hat
         # Geyer initial monotone positive sequence

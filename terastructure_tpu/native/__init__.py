@@ -28,7 +28,12 @@ if not os.path.exists(_SO) or (
     except Exception as e:  # g++ missing, compile error, ...
         raise ImportError(f"native bedops build failed: {e}") from e
 
-_lib = ctypes.CDLL(_SO)
+try:
+    _lib = ctypes.CDLL(_SO)
+except OSError as e:
+    # A stale/incompatible .so (e.g. built on another platform) must surface
+    # as ImportError so callers fall back to the numpy path.
+    raise ImportError(f"native bedops load failed: {e}") from e
 _lib.bed_translate.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
 _lib.pack2bit.argtypes = [

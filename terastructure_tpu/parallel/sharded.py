@@ -68,41 +68,94 @@ def make_plan(cfg: SVIConfig, mesh: Mesh) -> ShardPlan:
 
 
 def prepare(cfg: SVIConfig, data: GenotypeData, mesh: Mesh):
-    """Pad + device_put the packed genotypes with the 2-D sharding.
+    """Pad + shard the packed genotypes onto the 2-D mesh.
 
     Returns (plan, packed_sharded). Padding individuals/SNPs decode as
     MISSING (0xFF bytes) so they never contribute statistics.
+
+    `data.packed` may be either the full (l, ceil(n/4)) matrix (single
+    host) or this process's byte-column slice at `data.byte_col_offset`
+    (multi-host ingest, parallel/multihost.load_bed_shard). Either way
+    the global array is assembled per addressable device — no host needs
+    the whole matrix, so 1M x 1M (250 GB packed) runs with O(1/hosts)
+    RSS per host.
     """
     plan = make_plan(cfg, mesh)
     packed = data.packed
+    col0 = data.byte_col_offset
     w_padded = packed_width(plan.n_padded)
-    lp, wp = plan.l_padded, w_padded
-    if packed.shape != (lp, wp):
-        out = np.full((lp, wp), 0xFF, dtype=np.uint8)
-        out[: packed.shape[0], : packed.shape[1]] = packed
-        packed = out
+    lp = plan.l_padded
     sh = NamedSharding(mesh, meshlib.PACKED_SPEC)
-    return plan, jax.device_put(packed, sh)
+    multiproc = jax.process_count() > 1
+    if not multiproc and col0 == 0 and packed.shape[1] == packed_width(data.n):
+        if packed.shape != (lp, w_padded):
+            out = np.full((lp, w_padded), 0xFF, dtype=np.uint8)
+            out[: packed.shape[0], : packed.shape[1]] = packed
+            packed = out
+        return plan, jax.device_put(packed, sh)
+
+    # Assemble from (possibly partial) host buffers: for each addressable
+    # device, cut its (rows, cols) block out of the local buffer, filling
+    # out-of-range positions (padding, or columns another host owns) with
+    # 0xFF. Columns owned by other hosts are never touched here — every
+    # process contributes exactly its addressable shards.
+    gshape = (lp, w_padded)
+    lrows, lcols = packed.shape
+    arrs = []
+    devs = []
+    for dev, (rs, cs) in sh.addressable_devices_indices_map(gshape).items():
+        r0 = rs.start or 0
+        r1 = rs.stop if rs.stop is not None else lp
+        c0 = cs.start or 0
+        c1 = cs.stop if cs.stop is not None else w_padded
+        buf = np.full((r1 - r0, c1 - c0), 0xFF, dtype=np.uint8)
+        rr1 = min(r1, lrows)
+        cc0, cc1 = max(c0, col0), min(c1, col0 + lcols)
+        if rr1 > r0 and cc1 > cc0:
+            buf[: rr1 - r0, cc0 - c0: cc1 - c0] = (
+                packed[r0:rr1, cc0 - col0: cc1 - col0])
+        elif c1 > col0 + lcols and c0 < w_padded and c0 < packed_width(data.n):
+            raise ValueError(
+                f"process-local packed slice [{col0}, {col0 + lcols}) does "
+                f"not cover addressable byte columns [{c0}, {c1}); load "
+                "the range given by multihost.local_byte_cols()")
+        arrs.append(jax.device_put(buf, dev))
+        devs.append(dev)
+    global_arr = jax.make_array_from_single_device_arrays(gshape, sh, arrs)
+    return plan, global_arr
 
 
 def init_sharded_state(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh) -> SVIState:
-    """Like engine.init_state but with padded shapes and mesh shardings."""
+    """Like engine.init_state but with padded shapes and mesh shardings.
+
+    Init is computed UNDER jit with sharded out_shardings so it works
+    identically in multi-process runs (no host materializes the global
+    arrays; threefry values are sharding-independent, so this matches
+    the single-process init bit-for-bit).
+    """
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_run = jax.random.split(key)
-    gamma = (
-        cfg.alpha_value
-        + cfg.gamma_init_scale
-        * jax.random.uniform(k_init, (plan.n_padded, cfg.k), dtype=jnp.float32)
-    )
-    lamb = jnp.stack(
-        [
-            jnp.full((plan.l_padded, cfg.k), cfg.beta_a, jnp.float32),
-            jnp.full((plan.l_padded, cfg.k), cfg.beta_b, jnp.float32),
-        ],
-        axis=-1,
-    )
-    gamma = jax.device_put(gamma, NamedSharding(mesh, meshlib.GAMMA_SPEC))
-    lamb = jax.device_put(lamb, NamedSharding(mesh, meshlib.LAMB_SPEC))
+    gsh = NamedSharding(mesh, meshlib.GAMMA_SPEC)
+    lsh = NamedSharding(mesh, meshlib.LAMB_SPEC)
+
+    @functools.partial(jax.jit, out_shardings=(gsh, lsh))
+    def _init(k):
+        gamma = (
+            cfg.alpha_value
+            + cfg.gamma_init_scale
+            * jax.random.uniform(k, (plan.n_padded, cfg.k),
+                                 dtype=jnp.float32)
+        )
+        lamb = jnp.stack(
+            [
+                jnp.full((plan.l_padded, cfg.k), cfg.beta_a, jnp.float32),
+                jnp.full((plan.l_padded, cfg.k), cfg.beta_b, jnp.float32),
+            ],
+            axis=-1,
+        )
+        return gamma, lamb
+
+    gamma, lamb = _init(k_init)
     return SVIState(gamma=gamma, lamb=lamb, t=jnp.int32(0), key=k_run)
 
 
@@ -248,9 +301,15 @@ def shard_state(state: SVIState, plan: ShardPlan, mesh: Mesh) -> SVIState:
     if lamb.shape[0] != plan.l_padded:
         pad = np.ones((plan.l_padded - lamb.shape[0],) + lamb.shape[1:], lamb.dtype)
         lamb = np.concatenate([lamb, pad])
+    gsh = NamedSharding(mesh, meshlib.GAMMA_SPEC)
+    lsh = NamedSharding(mesh, meshlib.LAMB_SPEC)
+    # make_array_from_callback works in multi-process runs (each process
+    # materializes only its addressable shards from the host copy).
     return SVIState(
-        gamma=jax.device_put(gamma, NamedSharding(mesh, meshlib.GAMMA_SPEC)),
-        lamb=jax.device_put(lamb, NamedSharding(mesh, meshlib.LAMB_SPEC)),
+        gamma=jax.make_array_from_callback(
+            gamma.shape, gsh, lambda idx: gamma[idx]),
+        lamb=jax.make_array_from_callback(
+            lamb.shape, lsh, lambda idx: lamb[idx]),
         t=state.t,
         key=state.key,
     )

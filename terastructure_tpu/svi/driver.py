@@ -59,15 +59,19 @@ def fit(
     (otherwise the host matrix is width-padded and device_put here).
     """
     assert cfg.n == data.n and cfg.l == data.l, "config/data shape mismatch"
-    packed_host = np.asarray(data.packed)
-    # Pad the byte-width to 128 once on the host: required by the fused
-    # kernel, harmless elsewhere (padding decodes as MISSING).
-    wpad = (-packed_host.shape[1]) % 128
-    if wpad:
-        packed_host = np.pad(packed_host, ((0, 0), (0, wpad)),
-                             constant_values=0xFF)
+    multiproc = jax.process_count() > 1
+    lead = jax.process_index() == 0
+
+    def _pad_width(arr):
+        # Pad the byte-width to 128: required by the fused kernel,
+        # harmless elsewhere (padding decodes as MISSING).
+        wpad = (-arr.shape[1]) % 128
+        if wpad:
+            arr = np.pad(arr, ((0, 0), (0, wpad)), constant_values=0xFF)
+        return arr
+
     if packed is None:
-        packed = jax.device_put(packed_host)
+        packed = jax.device_put(_pad_width(np.asarray(data.packed)))
     if state is None:
         state = engine.init_state(cfg, l_padded=packed.shape[0])
 
@@ -76,6 +80,33 @@ def fit(
 
     local_mode = cfg.lambda_mode == "local"
 
+    def _eval_rows(uniq):
+        """Full-width packed rows of the unique eval SNPs."""
+        if data.eval_rows_full is not None:
+            pos = np.searchsorted(data.eval_row_snps, uniq)
+            if not np.array_equal(np.asarray(data.eval_row_snps)[pos], uniq):
+                raise ValueError("eval entry SNPs missing from eval_rows_full")
+            return _pad_width(np.asarray(data.eval_rows_full)[pos])
+        if data.is_local_slice:
+            raise ValueError(
+                "local-slice GenotypeData needs eval_rows_full for "
+                "local-mode eval (multihost.load_bed_shard provides it)")
+        return _pad_width(np.asarray(data.packed)[uniq])
+
+    def _put(a):
+        """Host array -> device. In multi-process runs small eval inputs
+        must be globally replicated (every process holds the same data —
+        the carve is deterministic) so they can feed SPMD jits alongside
+        the mesh-sharded state."""
+        a = np.asarray(a)
+        if multiproc:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(state.gamma.sharding.mesh, PartitionSpec())
+            return jax.make_array_from_callback(a.shape, rep,
+                                                lambda idx: a[idx])
+        return jax.device_put(a)
+
     def make_scorer(es):
         """(state -> mean ll) for an entry set, honoring lambda_mode."""
         if es is None or not len(es):
@@ -83,12 +114,12 @@ def fit(
         if local_mode:
             uniq, inv = np.unique(es.snp_idx, return_inverse=True)
             f = engine.make_entry_loglik_recompute(
-                cfg, packed_host[uniq], inv.astype(np.int32),
-                es.ind_idx, es.x)
+                cfg, _eval_rows(uniq), inv.astype(np.int32),
+                es.ind_idx, es.x, put=_put)
             return lambda st: float(f(st.gamma))
-        i = jax.device_put(es.ind_idx)
-        j = jax.device_put(es.snp_idx)
-        xv = jax.device_put(es.x)
+        i = _put(es.ind_idx)
+        j = _put(es.snp_idx)
+        xv = _put(es.x)
         return lambda st: float(engine.entry_loglik(st.gamma, st.lamb,
                                                     i, j, xv))
 
@@ -100,8 +131,8 @@ def fit(
     converged = False
     checks = 0
     t0 = time.time()
-    mfile = open(metrics_path, "a") if metrics_path else None
-    tfile = open(trace_path, "a") if trace_path else None
+    mfile = open(metrics_path, "a") if metrics_path and lead else None
+    tfile = open(trace_path, "a") if trace_path and lead else None
 
     try:
         while int(state.t) < cfg.max_steps:
@@ -151,7 +182,14 @@ def fit(
         if tfile:
             tfile.close()
 
-    if local_mode:
+    if local_mode and multiproc:
+        # The full-lambda materialization below gathers the packed matrix
+        # row-block-wise — fine on one host, wrong across hosts (no host
+        # has all columns). Export lambda via the (sharded) compute-beta
+        # post-pass instead; eval scoring above never needed state.lamb.
+        log.info("multi-process run: lambda left at prior in the result; "
+                 "run compute-beta for final per-SNP estimates")
+    elif local_mode:
         # Materialize the full converged lambda for export/checkpoint/
         # heldout (lambda is derived state in this mode).
         from terastructure_tpu.svi.postprocess import compute_lambda

@@ -324,7 +324,7 @@ def entry_loglik(gamma, lamb, ind_idx, snp_idx, x):
 
 
 def make_entry_loglik_recompute(cfg: SVIConfig, eval_rows, row_of_entry,
-                                ind_idx, x):
+                                ind_idx, x, *, put=None):
     """Eval scorer for the 'local' lambda mode.
 
     eval_rows: (S, W) packed genotype rows of the distinct eval SNPs
@@ -332,16 +332,21 @@ def make_entry_loglik_recompute(cfg: SVIConfig, eval_rows, row_of_entry,
     row_of_entry: (M,) index into eval_rows per entry. Returns a jitted
     gamma -> mean log-lik function that re-solves those SNPs' lambdas
     from the current gamma (always-converged plug-in predictive).
+
+    `put` overrides how inputs land on device (multi-process runs pass a
+    mesh-replicating putter, svi/driver.py).
     """
     from terastructure_tpu.svi.postprocess import solve_lambda_blocks
 
+    if put is None:
+        put = lambda a: jax.device_put(np.asarray(a))  # noqa: E731
     # Device-put ONCE and pass as jit arguments — closing over them
     # captures multi-GB constants in the lowered program (observed
     # 2.17 GB at N=100K), which crawls through the remote compiler.
-    eval_rows = jax.device_put(np.asarray(eval_rows))
-    row_of_entry = jax.device_put(np.asarray(row_of_entry))
-    ind_idx = jax.device_put(np.asarray(ind_idx))
-    x = jax.device_put(np.asarray(x))
+    eval_rows = put(np.asarray(eval_rows))
+    row_of_entry = put(np.asarray(row_of_entry))
+    ind_idx = put(np.asarray(ind_idx))
+    x = put(np.asarray(x))
     w = eval_rows.shape[1]
 
     @jax.jit
