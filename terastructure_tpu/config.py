@@ -58,6 +58,17 @@ class SVIConfig:
     local_iters: int = 16
     local_tol: float = 1e-4     # mean |delta lambda| early-exit threshold
 
+    # Big-N inner-loop subsampling: run the lambda coordinate-ascent
+    # ITERATIONS on a per-step random subsample of this many individuals
+    # (N/Ns-scaled statistics), then take ONE exact full-N pass for the
+    # final lambda + gamma statistics. The K<=32 MXU lane padding makes
+    # every full sweep cost ~128/K more than its useful FLOPs, and the
+    # solve runs ~16 sweeps — subsampling cuts that to ~1 full-sweep
+    # equivalent with per-step lambda noise ~1/sqrt(Ns) that the exact
+    # final pass reduces to one coordinate-ascent step's worth. 0
+    # disables; active only when padded N >= 4x this value.
+    local_sub_n: int = 8192
+
     # Heldout/validation entry fractions (SURVEY.md §1.2 step 5).
     validation_frac: float = 0.005
     heldout_frac: float = 0.005

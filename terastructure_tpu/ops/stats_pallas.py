@@ -210,11 +210,14 @@ def gamma_stats_packed(rows, u_planes, t1, t0, *, tb=DEF_TB, tw=DEF_TW,
 
 def local_solve_packed(rows, u, lamb_b, *, beta_a, beta_b, local_iters,
                        local_tol, tb, tw, dtype=jnp.bfloat16,
-                       interpret=False):
+                       interpret=False, stat_scale=1.0):
     """Pallas-backed local coordinate ascent; mirrors
     stats_dense.local_solve but consumes packed rows directly.
 
     u: (N, K) with N % 4 == 0 (padded); returns converged lamb_b (B,K,2).
+    stat_scale rescales the individual-summed statistics — the big-N
+    inner-loop subsample path passes N/Ns so lambda magnitudes match the
+    full-population solve (engine.step_core_packed).
     """
     from terastructure_tpu.models.psd import elog_beta
 
@@ -231,7 +234,8 @@ def local_solve_packed(rows, u, lamb_b, *, beta_a, beta_b, local_iters,
         l0, l1 = lambda_stats_packed(
             rows, u_planes, t1, t0, tb=tb, tw=tw, dtype=dtype,
             interpret=interpret)
-        new = jnp.stack([beta_a + t1 * l0, beta_b + t0 * l1], axis=-1)
+        new = jnp.stack([beta_a + stat_scale * t1 * l0,
+                         beta_b + stat_scale * t0 * l1], axis=-1)
         delta = jnp.mean(jnp.abs(new - lam)) / (jnp.mean(jnp.abs(lam)) + 1.0)
         return new, it + 1, delta
 

@@ -58,7 +58,13 @@ def make_plan(cfg: SVIConfig, mesh: Mesh) -> ShardPlan:
     snp = mesh.shape[SNP_AXIS]
     if cfg.batch_size % snp:
         raise ValueError(f"batch_size {cfg.batch_size} not divisible by snp axis {snp}")
-    quantum = 4 * ind
+    # When the fused kernel is reachable (unsharded 'ind', kernel
+    # auto/fused) pad N so each shard's byte width is a multiple of 128 —
+    # the lane tile the Pallas kernels require. Padding individuals
+    # decode as MISSING (harmless); elsewhere keep the minimal 4*ind
+    # byte-alignment quantum.
+    fused_reachable = ind == 1 and cfg.kernel in ("auto", "fused")
+    quantum = 512 * ind if fused_reachable else 4 * ind
     n_padded = ((cfg.n + quantum - 1) // quantum) * quantum
     l_padded = ((cfg.l + snp - 1) // snp) * snp
     return ShardPlan(
@@ -185,10 +191,19 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
     psum_ind = functools.partial(jax.lax.psum, axis_name=IND_AXIS)
     local_mode = cfg.lambda_mode == "local"
     interpret = jax.default_backend() != "tpu"
-    want_fused = (
-        plan.ind == 1
-        and cfg.kernel in ("auto", "fused")
-        and jax.default_backend() == "tpu"
+    if cfg.kernel == "fused" and plan.ind > 1:
+        raise ValueError(
+            "kernel='fused' runs the whole local coordinate ascent inside "
+            "one Pallas program and cannot psum over a sharded 'ind' axis; "
+            f"this mesh has ind={plan.ind}. Keep 'ind' for HOSTS (one chip "
+            "column per host) and shard chips over 'snp', or use "
+            "kernel='auto'/'pallas'/'dense' which psum per iteration.")
+    # fused applies when 'ind' is unsharded: explicit kernel='fused'
+    # anywhere (interpret-mode Pallas off-TPU — exercised by tests and
+    # dryrun_multichip), 'auto' on real TPUs only.
+    want_fused = plan.ind == 1 and (
+        cfg.kernel == "fused"
+        or (cfg.kernel == "auto" and jax.default_backend() == "tpu")
     )
 
     def local_step(gamma_l, lamb_l, packed_l, t, key):

@@ -23,12 +23,18 @@ from terastructure_tpu.ops import stats_dense as ops
 
 
 def solve_lambda_blocks(cfg: SVIConfig, u, packed_rows, *,
-                        block: int = 1024):
+                        block: int = 1024, sub_key=None):
     """Converged lambda for each packed row given fixed u = expElogtheta.
 
     u: (N', K) where N' = 4 * packed_rows.shape[1] (caller pads);
     packed_rows: (S, W) uint8. Returns lamb (S, K, 2) f32 (jnp).
     Rows are processed in fixed-size blocks under one jitted lax.map.
+
+    sub_key enables the big-N inner-loop subsample (cfg.local_sub_n, see
+    engine.step_core_packed): the coordinate-ascent ITERATIONS run on a
+    fixed byte-aligned individual subsample, the final lambda statistic
+    is one exact full-N pass. Pass a FIXED key (eval scoring) so scores
+    stay deterministic across checks.
     """
     n = u.shape[0]
     s, w = packed_rows.shape
@@ -54,18 +60,33 @@ def solve_lambda_blocks(cfg: SVIConfig, u, packed_rows, *,
     # churn for big N); dense elsewhere / in interpret-less CPU tests.
     use_pallas = (jax.default_backend() == "tpu" and n % 512 == 0
                   and block % 8 == 0 and (n // 4) % 128 == 0)
+    wp = n // 4
+    sub_w = (cfg.local_sub_n // 4 // 128) * 128
+    use_sub = sub_key is not None and sub_w >= 128 and wp >= 4 * sub_w
+    if use_sub:
+        idx_w = jax.random.choice(sub_key, wp, (sub_w,), replace=False)
+        u_sub = u.reshape(wp, 4, -1)[idx_w].reshape(4 * sub_w, -1)
 
     def solve_block(rows):
         if use_pallas:
             from terastructure_tpu.ops import stats_pallas as pk
 
-            tb, tw = pk.pick_tiles(block, n // 4)
+            tb, tw = pk.pick_tiles(block, wp)
             u_planes = pk.u_to_planes(u)
-            lam = pk.local_solve_packed(
-                rows, u, lamb0,
-                beta_a=cfg.beta_a, beta_b=cfg.beta_b,
-                local_iters=cfg.local_iters, local_tol=cfg.local_tol,
-                tb=tb, tw=tw, dtype=dtype)
+            if use_sub:
+                _, tw_sub = pk.pick_tiles(block, sub_w)
+                lam = pk.local_solve_packed(
+                    rows[:, idx_w], u_sub, lamb0,
+                    beta_a=cfg.beta_a, beta_b=cfg.beta_b,
+                    local_iters=cfg.local_iters, local_tol=cfg.local_tol,
+                    tb=tb, tw=tw_sub, dtype=dtype,
+                    stat_scale=wp / sub_w)
+            else:
+                lam = pk.local_solve_packed(
+                    rows, u, lamb0,
+                    beta_a=cfg.beta_a, beta_b=cfg.beta_b,
+                    local_iters=cfg.local_iters, local_tol=cfg.local_tol,
+                    tb=tb, tw=tw, dtype=dtype)
             e1, e0 = ops.exp_elog_beta(lam)
             l0, l1 = pk.lambda_stats_packed(
                 rows, u_planes, e1, e0, tb=tb, tw=tw, dtype=dtype)
