@@ -23,6 +23,12 @@ def main():
     ap.add_argument("--k", type=int, default=3)
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--chains", type=int, default=0,
+                    help="NUTS/HMC chains (default: 4 for --full, 1 quick); "
+                         "chains are label-aligned before R-hat/ESS and "
+                         "device-sharded when chips allow")
+    ap.add_argument("--n-samples", type=int, default=500)
+    ap.add_argument("--n-warmup", type=int, default=400)
     args = ap.parse_args()
 
     from terastructure_tpu.data.simulate import simulate_psd
@@ -33,17 +39,24 @@ def main():
     t0 = time.time()
     kw = {}
     if args.sampler in ("nuts", "hmc"):
-        kw = dict(n_samples=500, n_warmup=400)
+        chains = args.chains or (4 if args.full else 1)
+        kw = dict(n_samples=args.n_samples, n_warmup=args.n_warmup,
+                  n_chains=chains)
     else:
         kw = dict(n_particles=512, n_mutations=2, n_leapfrog=8,
                   mutation_eps=0.05)
     rep = compare_svi_mcmc(x, k=args.k, sampler=args.sampler,
                            seed=args.seed, **kw)
-    print(json.dumps(dict(
+    out = dict(
         config=f"{n}x{l} K={args.k}", sampler=args.sampler,
         theta_mae=round(rep.theta_mae, 5), beta_mae=round(rep.beta_mae, 5),
         svi_steps=rep.svi_steps, wall_s=round(time.time() - t0, 1),
-    )))
+    )
+    conv = rep.sampler_diag.get("convergence")
+    if conv:
+        out["convergence"] = {k_: {m: round(v, 3) for m, v in d.items()}
+                              for k_, d in conv.items()}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -167,11 +167,15 @@ def run_hmc(
     target_accept: float = 0.8,
     n_chains: int = 1,
     thin: int = 1,
+    shard_chains: bool = True,
 ):
     """Run `n_chains` HMC chains (vmapped). Returns (samples, diagnostics).
 
     samples: pytree with leading axes (n_chains, n_samples // thin).
     init_params must have a leading chain axis iff n_chains > 1.
+    shard_chains: place the chain axis on a device mesh when several
+    devices are available (mcmc/chains.py) — XLA runs chains fully in
+    parallel, one per device, no communication.
     """
     kernel = hmc_kernel(log_prob, n_leapfrog)
 
@@ -230,5 +234,9 @@ def run_hmc(
 
     if n_chains == 1:
         return single_chain(key, init_params)
+    from terastructure_tpu.mcmc.chains import maybe_shard_leading
+
     keys = jax.random.split(key, n_chains)
-    return jax.vmap(single_chain)(keys, init_params)
+    keys, init_params = maybe_shard_leading(
+        (keys, init_params), n_chains, shard_chains)
+    return jax.jit(jax.vmap(single_chain))(keys, init_params)

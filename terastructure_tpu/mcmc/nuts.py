@@ -284,10 +284,13 @@ def run_nuts(
     init_eps: float = 0.1,
     target_accept: float = 0.8,
     n_chains: int = 1,
+    shard_chains: bool = True,
 ):
     """Run NUTS chains (vmapped leading axis when n_chains > 1).
 
     Returns (samples pytree with leading (chains, samples), diagnostics).
+    shard_chains: place the chain axis on a device mesh when several
+    devices are available (mcmc/chains.py).
     """
     kernel = nuts_kernel(log_prob, max_depth=max_depth)
 
@@ -341,5 +344,9 @@ def run_nuts(
 
     if n_chains == 1:
         return single_chain(key, init_params)
+    from terastructure_tpu.mcmc.chains import maybe_shard_leading
+
     keys = jax.random.split(key, n_chains)
-    return jax.vmap(single_chain)(keys, init_params)
+    keys, init_params = maybe_shard_leading(
+        (keys, init_params), n_chains, shard_chains)
+    return jax.jit(jax.vmap(single_chain))(keys, init_params)

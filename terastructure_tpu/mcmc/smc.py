@@ -83,15 +83,26 @@ def run_smc(
     mutation_eps: float = 0.05,
     ess_target_frac: float = 0.5,
     max_stages: int = 100,
+    shard_particles: bool = True,
 ):
     """Adaptive tempered SMC from the prior sample `init_particles`.
 
     Returns (particles, diagnostics) where particles approximate the
     posterior  prior * lik  at temp=1. diagnostics includes the
     log-evidence estimate and the realized temperature ladder.
+
+    shard_particles: place the particle axis on a device mesh
+    (mcmc/chains.py). Mutation/weighting stay communication-free; the
+    ESS reduction and the resampling gather become the collectives XLA
+    derives from the shardings (BASELINE.json:4 "collective resampling").
     """
     v_log_lik = jax.vmap(log_lik)
     v_log_prior = jax.vmap(log_prior)
+
+    from terastructure_tpu.mcmc.chains import maybe_shard_leading
+
+    init_particles = maybe_shard_leading(
+        init_particles, n_particles, shard_particles)
 
     @jax.jit
     def stage(state: SMCState):

@@ -71,15 +71,38 @@ def mcmc_moments(x, k, *, alpha, sampler="nuts", seed=0, n_samples=600,
             # inflates z-space R-hat by orders of magnitude without
             # affecting theta/beta.
             g = jnp.exp(samples["z_theta"])
+            theta_s = np.array(g / jnp.sum(g, axis=-1, keepdims=True))
+            beta_s = np.array(jax.nn.sigmoid(samples["z_beta"]))
+            # Align every chain's component labels to chain 0 BEFORE
+            # diagnostics: the PSD posterior is invariant to permuting
+            # the K populations, and chains that settled on different
+            # labelings are not "unmixed" — un-aligned R-hat conflates
+            # the two (VERDICT r1). The permutation comes from the
+            # chain-mean theta (Hungarian on column L1 distance) and is
+            # applied to theta AND beta (same component axis).
+            perms = []
+            for c in range(1, theta_s.shape[0]):
+                _, perm = align_columns(theta_s[c].mean(axis=0),
+                                        theta_s[0].mean(axis=0))
+                theta_s[c] = theta_s[c][..., perm]
+                beta_s[c] = beta_s[c][..., perm]
+                perms.append(perm.tolist())
             constrained = {
-                "theta": g / jnp.sum(g, axis=-1, keepdims=True),
-                "beta": jax.nn.sigmoid(samples["z_beta"]),
+                "theta": theta_s,
+                "beta": beta_s,
             }
             diag = dict(diag)
             diag["convergence"] = summarize(constrained, max_params=64)
-            # merge the chain axis into draws for the moment estimates
-            samples = jax.tree.map(
-                lambda a: a.reshape((-1,) + a.shape[2:]), samples)
+            diag["chain_label_perms"] = perms
+            # Moment estimates from the ALIGNED constrained samples
+            # (merging chains with mismatched labels would corrupt them).
+            theta = theta_s.reshape((-1,) + theta_s.shape[2:])
+            beta = beta_s.reshape((-1,) + beta_s.shape[2:])
+            return (
+                np.asarray(theta.mean(axis=0)),
+                np.asarray(beta.mean(axis=0)),
+                diag,
+            )
     g = jnp.exp(samples["z_theta"])
     theta = g / jnp.sum(g, axis=-1, keepdims=True)
     beta = jax.nn.sigmoid(samples["z_beta"])
