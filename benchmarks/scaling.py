@@ -104,9 +104,12 @@ def main():
             base_rate = per_dev
         rec = dict(
             mesh=f"{spec.ind}x{spec.snp}", devices=spec.n_devices,
+            n=args.n, l=args.l, k=args.k, batch_size=args.batch_size,
             steps_per_s=args.steps / dt, snp_updates_per_s=rate,
             per_device=per_dev, efficiency=per_dev / base_rate,
             compile_s=round(compile_s, 1),
+            backend=jax.default_backend(),
+            emulated=bool(args.emulate),
         )
         print(json.dumps(rec))
         if out_f:

@@ -270,6 +270,11 @@ def cmd_fit(args):
                 log.warning("resume: using checkpointed model hyperparameters")
             cfg = merged
             log.info("resuming from step %d", int(state.t))
+        elif args.init_model:
+            from terastructure_tpu.io.export import state_from_text_model
+
+            state = state_from_text_model(args.init_model, cfg)
+            log.info("initialized from text model %s", args.init_model)
         fit_kw = dict(
             state=state,
             metrics_path=os.path.join(sub, "metrics.jsonl"),
@@ -435,6 +440,9 @@ def main(argv=None):
                    help="multi-seed replicates; keep best validation ll")
     p.add_argument("--resume", action="store_true",
                    help="resume from the run dir's checkpoint")
+    p.add_argument("--init-model", default=None,
+                   help="continue from a TEXT model dir (gamma.txt [+ "
+                        "lambda.txt]) — the reference's resume format")
     p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser("compute-beta",

@@ -35,6 +35,59 @@ def load_matrix(path: str) -> np.ndarray:
     return np.asarray(rows)
 
 
+def load_model(run_dir: str):
+    """Read a text model (gamma.txt + lambda.txt) back as (gamma, lamb).
+
+    The reference's only resume path is reloading its saved text model
+    (SNPSamplingE save/load, SURVEY.md §5) — this accepts our exports
+    AND reference-format run dirs so a reference run can be continued
+    here. Returns (gamma (N, K) f32, lamb (L, K, 2) f32); lamb is None
+    when lambda.txt is absent (theta-only model).
+    """
+    gamma = load_matrix(os.path.join(run_dir, "gamma.txt")).astype(
+        np.float32)
+    lamb_path = os.path.join(run_dir, "lambda.txt")
+    lamb = None
+    if os.path.exists(lamb_path):
+        flat = load_matrix(lamb_path).astype(np.float32)
+        if flat.shape[1] % 2:
+            raise ValueError(
+                f"lambda.txt has odd column count {flat.shape[1]}")
+        lamb = flat.reshape(flat.shape[0], flat.shape[1] // 2, 2)
+    return gamma, lamb
+
+
+def state_from_text_model(run_dir: str, cfg, *, step: int = 0):
+    """Build an SVIState initialized from a text model to CONTINUE a fit.
+
+    Missing lambda falls back to the Beta prior (it is re-derived local
+    state in lambda_mode='local' anyway). `step` seeds the Robbins-Monro
+    schedule — reference text models do not record t, so callers choose
+    (0 restarts the schedule; a large value makes updates conservative).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    gamma, lamb = load_model(run_dir)
+    if gamma.shape != (cfg.n, cfg.k):
+        raise ValueError(
+            f"gamma.txt shape {gamma.shape} != config {(cfg.n, cfg.k)}")
+    if lamb is None:
+        lamb = np.stack(
+            [np.full((cfg.l, cfg.k), cfg.beta_a, np.float32),
+             np.full((cfg.l, cfg.k), cfg.beta_b, np.float32)], axis=-1)
+    elif lamb.shape != (cfg.l, cfg.k, 2):
+        raise ValueError(
+            f"lambda.txt shape {lamb.shape} != config {(cfg.l, cfg.k, 2)}")
+    from terastructure_tpu.svi.engine import SVIState
+
+    return SVIState(
+        gamma=jnp.asarray(gamma), lamb=jnp.asarray(lamb),
+        t=jnp.int32(step),
+        key=jax.random.split(jax.random.PRNGKey(cfg.seed))[1],
+    )
+
+
 def save_model(
     run_dir: str,
     gamma,
