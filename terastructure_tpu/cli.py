@@ -51,6 +51,10 @@ def _add_svi_args(p):
                    choices=["float32", "bfloat16"])
     p.add_argument("--kernel", default="auto",
                    choices=["auto", "fused", "pallas", "dense"])
+    p.add_argument("--predictive", default="plugin",
+                   choices=["plugin", "variational"],
+                   help="heldout predictive: plug-in Binom(2, E[th]^T "
+                        "E[beta]) or the proper variational form")
     p.add_argument("--lambda-mode", default="local",
                    choices=["local", "stored"],
                    help="local: lambda recomputed on demand (fast); "
@@ -154,6 +158,7 @@ def _cfg_from_args(args, n, l):
         validation_frac=args.validation_frac,
         heldout_frac=args.heldout_frac,
         compute_dtype=args.compute_dtype,
+        predictive=args.predictive,
         kernel=args.kernel, lambda_mode=args.lambda_mode,
         ind_shards=args.ind_shards, snp_shards=args.snp_shards,
         seed=args.seed, label=args.label,
@@ -303,12 +308,16 @@ def cmd_fit(args):
                      heldout_ll=res.heldout_ll, wall_s=res.wall_s),
                 f, indent=2)
         if best is None or res.validation_ll > best[1]:
-            best = (seed, res.validation_ll, sub)
+            best = (seed, res.validation_ll, sub, res.heldout_ll)
     if len(seeds) > 1:
         log.info("best replicate: seed=%d validation_ll=%.6f (%s)",
                  best[0], best[1], best[2])
+        # Selection is by VALIDATION ll (reference workflow, SURVEY.md
+        # §1.2 step 6); the north-star comparison quantity is the CHOSEN
+        # replicate's HELDOUT ll — record both.
         with open(os.path.join(run_dir, "best.json"), "w") as f:
             json.dump(dict(seed=best[0], validation_ll=best[1],
+                           heldout_ll=best[3],
                            dir=os.path.basename(best[2])), f, indent=2)
     print(run_dir)
 

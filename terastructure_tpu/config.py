@@ -73,6 +73,13 @@ class SVIConfig:
     validation_frac: float = 0.005
     heldout_frac: float = 0.005
 
+    # Heldout predictive form (SURVEY.md §3.3 [LOW] — which one the
+    # reference uses is unverified while the mount is empty):
+    # "plugin" = Binom(2, E[theta]^T E[beta]); "variational" = the
+    # proper E_q[Binom(2, s)] in closed form (models/psd.py). Both are
+    # implemented; config.json records the one in use for every run.
+    predictive: str = "plugin"
+
     # Convergence assessment.
     rfreq: int = 100            # validation log-lik every rfreq iterations
     max_steps: int = 10_000

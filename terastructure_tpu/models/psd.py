@@ -69,11 +69,67 @@ def binomial2_loglik(x, p):
     return log_coeff + x * jnp.log(p) + (2.0 - x) * jnp.log1p(-p)
 
 
-def predictive_loglik(gamma, lamb, ind_idx, snp_idx, x):
+def variational_predictive_probs(gamma_e, lamb_e):
+    """PROPER variational predictive for Binomial(2, s), s = theta^T beta:
+    p(x) = E_q[Binom(2, s)] in closed form (SURVEY.md §3.3 [LOW] — the
+    alternative to the plug-in Binom(2, E[s])).
+
+    Needs only the first two moments of s under q = Dir(gamma) x
+    prod_k Beta(lamb_k):
+
+      E[s]  = sum_k E[theta_k] E[beta_k]
+      E[s^2] = sum_{k!=k'} E[theta_k theta_k'] E[beta_k]E[beta_k']
+             + sum_k E[theta_k^2] E[beta_k^2]
+      with Dirichlet cross-moments E[theta_k theta_k'] =
+      gamma_k gamma_k' / (g0 (g0+1)) (k != k'), E[theta_k^2] =
+      gamma_k (gamma_k+1) / (g0 (g0+1)); Beta second moment
+      E[beta^2] = l0 (l0+1) / ((l0+l1)(l0+l1+1)).
+
+    gamma_e: (..., K) rows; lamb_e: (..., K, 2). Returns (p0, p1, p2)
+    each (...,): P(x=0), P(x=1), P(x=2) = (E[(1-s)^2], 2E[s(1-s)],
+    E[s^2]).
+    """
+    g0 = jnp.sum(gamma_e, axis=-1)
+    l0, l1 = lamb_e[..., 0], lamb_e[..., 1]
+    eb = l0 / (l0 + l1)
+    eb2 = l0 * (l0 + 1.0) / ((l0 + l1) * (l0 + l1 + 1.0))
+    es = jnp.sum(gamma_e * eb, axis=-1) / g0
+    denom = g0 * (g0 + 1.0)
+    cross = (jnp.sum(gamma_e * eb, axis=-1) ** 2
+             - jnp.sum(gamma_e**2 * eb**2, axis=-1)) / denom
+    diag = jnp.sum(gamma_e * (gamma_e + 1.0) * eb2, axis=-1) / denom
+    es2 = cross + diag
+    p2 = es2
+    p1 = 2.0 * (es - es2)
+    p0 = 1.0 - 2.0 * es + es2
+    return p0, p1, p2
+
+
+def variational_predictive_loglik(gamma_e, lamb_e, x):
+    """log p(x) under the proper variational predictive (see
+    variational_predictive_probs). gamma_e: (M, K), lamb_e: (M, K, 2),
+    x: (M,) in {0,1,2} -> (M,) log-probs."""
+    p0, p1, p2 = variational_predictive_probs(gamma_e, lamb_e)
+    probs = jnp.stack([p0, p1, p2], axis=-1)
+    eps = jnp.finfo(probs.dtype).tiny
+    probs = jnp.clip(probs, eps, 1.0)
+    xi = x.astype(jnp.int32)
+    return jnp.log(jnp.take_along_axis(probs, xi[..., None],
+                                       axis=-1)[..., 0])
+
+
+def predictive_loglik(gamma, lamb, ind_idx, snp_idx, x, form="plugin"):
     """Per-entry predictive log-likelihood for entries (ind_idx, snp_idx).
 
     gamma: (N, K); lamb: (L, K, 2); indices/x: (M,). Returns (M,) log-probs.
+    form: "plugin" (Binom(2, E[theta]^T E[beta]) — reference
+    compute_likelihood per SURVEY.md §3.3, default) or "variational"
+    (the proper E_q[Binom(2, s)], closed form above). The two agree as
+    q concentrates; the variational form is better calibrated early.
     """
+    if form == "variational":
+        return variational_predictive_loglik(
+            gamma[ind_idx], lamb[snp_idx], x)
     th = theta_mean(gamma[ind_idx])              # (M, K)
     be = beta_mean(lamb[snp_idx])                # (M, K)
     p = jnp.sum(th * be, axis=-1)                # (M,)

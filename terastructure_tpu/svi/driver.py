@@ -120,8 +120,8 @@ def fit(
         i = _put(es.ind_idx)
         j = _put(es.snp_idx)
         xv = _put(es.x)
-        return lambda st: float(engine.entry_loglik(st.gamma, st.lamb,
-                                                    i, j, xv))
+        return lambda st: float(engine.entry_loglik(
+            st.gamma, st.lamb, i, j, xv, form=cfg.predictive))
 
     val_scorer = make_scorer(data.validation)
 
@@ -143,6 +143,8 @@ def fit(
                 "wall_s": round(time.time() - t0, 3),
                 "rho": float(cfg.rho(float(steps_done))),
             }
+            if not trace:
+                rec["predictive"] = cfg.predictive
             if val_scorer is not None:
                 ll = val_scorer(state)
                 rec["validation_ll"] = ll

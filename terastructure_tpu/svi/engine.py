@@ -352,11 +352,12 @@ def make_run_chunk(cfg: SVIConfig, nsteps: int, l_sample: int | None = None):
     return run_chunk
 
 
-@functools.partial(jax.jit, static_argnames=())
-def entry_loglik(gamma, lamb, ind_idx, snp_idx, x):
+@functools.partial(jax.jit, static_argnames=("form",))
+def entry_loglik(gamma, lamb, ind_idx, snp_idx, x, form="plugin"):
     """Mean per-entry predictive log-lik on an entry set (validation or
-    heldout) — the reference `compute_likelihood` (SURVEY.md §3.3)."""
-    ll = psd.predictive_loglik(gamma, lamb, ind_idx, snp_idx, x)
+    heldout) — the reference `compute_likelihood` (SURVEY.md §3.3).
+    form: "plugin" | "variational" (models/psd.predictive_loglik)."""
+    ll = psd.predictive_loglik(gamma, lamb, ind_idx, snp_idx, x, form=form)
     return jnp.mean(ll)
 
 
@@ -398,6 +399,9 @@ def make_entry_loglik_recompute(cfg: SVIConfig, eval_rows, row_of_entry,
                         constant_values=1.0)
         lamb_eval = solve_lambda_blocks(cfg, u, eval_rows, block=1024,
                                         sub_key=sub_key)
+        if cfg.predictive == "variational":
+            return jnp.mean(psd.variational_predictive_loglik(
+                gamma[ind_idx], lamb_eval[row_of_entry], x))
         beta = psd.beta_mean(lamb_eval)                 # (S, K)
         th = psd.theta_mean(gamma[ind_idx])             # (M, K)
         p = jnp.sum(th * beta[row_of_entry], axis=-1)

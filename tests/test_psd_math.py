@@ -55,3 +55,47 @@ def test_data_loglik_masks_missing(rng):
             if x[i, j] != psd.MISSING:
                 want += sst.binom.logpmf(x[i, j], 2, p[i, j])
     np.testing.assert_allclose(ll, want, rtol=1e-4)
+
+
+def test_variational_predictive_matches_monte_carlo():
+    """Closed-form E_q[Binom(2, theta^T beta)] vs brute-force sampling."""
+    import numpy as np
+    from terastructure_tpu.models import psd
+
+    rng = np.random.default_rng(0)
+    m, k = 6, 4
+    gamma = rng.uniform(0.3, 8.0, size=(m, k)).astype(np.float32)
+    lamb = rng.uniform(0.5, 20.0, size=(m, k, 2)).astype(np.float32)
+    p0, p1, p2 = psd.variational_predictive_probs(
+        jnp.asarray(gamma), jnp.asarray(lamb))
+    probs = np.stack([np.asarray(p0), np.asarray(p1), np.asarray(p2)], -1)
+    assert np.allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+    draws = 200_000
+    mc = np.zeros((m, 3))
+    for i in range(m):
+        g = rng.gamma(gamma[i], 1.0, size=(draws, k))
+        th = g / g.sum(1, keepdims=True)
+        be = rng.beta(lamb[i, :, 0], lamb[i, :, 1], size=(draws, k))
+        s = (th * be).sum(1)
+        mc[i] = [np.mean((1 - s) ** 2), np.mean(2 * s * (1 - s)),
+                 np.mean(s**2)]
+    np.testing.assert_allclose(probs, mc, atol=5e-3)
+
+    # log-lik gather agrees with the probs
+    x = np.array([0, 1, 2, 2, 1, 0], np.int8)
+    ll = np.asarray(psd.variational_predictive_loglik(
+        jnp.asarray(gamma), jnp.asarray(lamb), jnp.asarray(x)))
+    np.testing.assert_allclose(
+        ll, np.log(probs[np.arange(m), x]), rtol=1e-5)
+
+    # plugin and variational agree as q concentrates
+    big_g = gamma * 1e4
+    big_l = lamb * 1e4
+    ll_v = np.asarray(psd.predictive_loglik(
+        jnp.asarray(big_g), jnp.asarray(big_l),
+        jnp.arange(m), jnp.arange(m), jnp.asarray(x), form="variational"))
+    ll_p = np.asarray(psd.predictive_loglik(
+        jnp.asarray(big_g), jnp.asarray(big_l),
+        jnp.arange(m), jnp.arange(m), jnp.asarray(x), form="plugin"))
+    np.testing.assert_allclose(ll_v, ll_p, atol=2e-3)
