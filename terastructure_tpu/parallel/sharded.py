@@ -58,13 +58,14 @@ def make_plan(cfg: SVIConfig, mesh: Mesh) -> ShardPlan:
     snp = mesh.shape[SNP_AXIS]
     if cfg.batch_size % snp:
         raise ValueError(f"batch_size {cfg.batch_size} not divisible by snp axis {snp}")
-    # When the fused kernel is reachable (unsharded 'ind', kernel
-    # auto/fused) pad N so each shard's byte width is a multiple of 128 —
-    # the lane tile the Pallas kernels require. Padding individuals
-    # decode as MISSING (harmless); elsewhere keep the minimal 4*ind
+    # When a Pallas kernel path is reachable, pad N so each shard's byte
+    # width is a multiple of 128 — the lane tile every Pallas kernel
+    # requires. Padding individuals decode as MISSING (harmless);
+    # elsewhere (dense XLA path, e.g. CPU tests) keep the minimal 4*ind
     # byte-alignment quantum.
-    fused_reachable = ind == 1 and cfg.kernel in ("auto", "fused")
-    quantum = 512 * ind if fused_reachable else 4 * ind
+    pallas_reachable = cfg.kernel in ("fused", "pallas") or (
+        cfg.kernel == "auto" and jax.default_backend() == "tpu")
+    quantum = 512 * ind if pallas_reachable else 4 * ind
     n_padded = ((cfg.n + quantum - 1) // quantum) * quantum
     l_padded = ((cfg.l + snp - 1) // snp) * snp
     return ShardPlan(
@@ -206,6 +207,107 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
         or (cfg.kernel == "auto" and jax.default_backend() == "tpu")
     )
 
+    wl_static = packed_width(plan.n_padded) // plan.ind
+    try:
+        pk_tiles = None
+        from terastructure_tpu.ops import stats_pallas as _pk
+
+        pk_tiles = _pk.pick_tiles(b_local, wl_static)
+    except ValueError:
+        pk_tiles = None
+    use_pk = pk_tiles is not None and (
+        cfg.kernel == "pallas"
+        or (cfg.kernel in ("auto", "fused")
+            and jax.default_backend() == "tpu")
+    )
+
+    kdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+              else jnp.float32)
+
+    def _local_step_pk(gamma_l, lamb_l, packed_l, t, kb, idx):
+        from terastructure_tpu.ops import stats_pallas as pk
+
+        tb, tw = pk_tiles
+        rows = packed_l[idx]                            # (B_l, W/I)
+        u = ops.exp_elog_theta(gamma_l)                 # (4*W/I, K)
+        u_planes = pk.u_to_planes(u)
+
+        # Optional iteration subsample: each ind shard takes its share
+        # of the byte columns; the N/Ns scale is shard-independent.
+        sub_w = ((cfg.local_sub_n // 4 // max(plan.ind, 1)) // 128) * 128
+        use_sub = sub_w >= 128 and wl_static >= 4 * sub_w
+        if use_sub:
+            i_idx = jax.lax.axis_index(IND_AXIS)
+            ks = jax.random.fold_in(jax.random.fold_in(kb, i_idx), 0x5B)
+            idx_w = jax.random.choice(ks, wl_static, (sub_w,),
+                                      replace=False)
+            rows_it = rows[:, idx_w]
+            u_it = pk.u_to_planes(
+                u.reshape(wl_static, 4, -1)[idx_w].reshape(4 * sub_w, -1))
+            _, tw_it = pk.pick_tiles(b_local, sub_w)
+            scale = wl_static / sub_w
+        else:
+            rows_it, u_it, tw_it, scale = rows, u_planes, tw, 1.0
+
+        lamb_b = (jnp.stack(
+            [jnp.full((b_local, cfg.k), cfg.beta_a, jnp.float32),
+             jnp.full((b_local, cfg.k), cfg.beta_b, jnp.float32)],
+            axis=-1)
+            if local_mode else lamb_l[idx])
+
+        def one_iter(lam, rows_x, u_x, tw_x, st_scale):
+            t1, t0 = ops.exp_elog_beta(lam)
+            l0r, l1r = pk.lambda_stats_packed(
+                rows_x, u_x, t1, t0, tb=tb, tw=tw_x, dtype=kdtype,
+                interpret=interpret)
+            l0r = psum_ind(l0r)
+            l1r = psum_ind(l1r)
+            return jnp.stack([cfg.beta_a + st_scale * t1 * l0r,
+                              cfg.beta_b + st_scale * t0 * l1r], axis=-1)
+
+        def cond(carry):
+            _, it, delta = carry
+            return jnp.logical_and(it < cfg.local_iters,
+                                   delta > cfg.local_tol)
+
+        def body(carry):
+            lam, it, _ = carry
+            new = one_iter(lam, rows_it, u_it, tw_it, scale)
+            delta = (jnp.mean(jnp.abs(new - lam))
+                     / (jnp.mean(jnp.abs(lam)) + 1.0))
+            return new, it + 1, delta
+
+        lamb_b, _, _ = jax.lax.while_loop(
+            cond, body, (lamb_b, jnp.int32(0), jnp.float32(jnp.inf)))
+        if use_sub:
+            # one exact full-N refinement before the final stats
+            lamb_b = one_iter(lamb_b, rows, u_planes, tw, 1.0)
+
+        # Final exact stats from the converged t's.
+        t1, t0 = ops.exp_elog_beta(lamb_b)
+        l0r, l1r = pk.lambda_stats_packed(
+            rows, u_planes, t1, t0, tb=tb, tw=tw, dtype=kdtype,
+            interpret=interpret)
+        l0r = psum_ind(l0r)
+        l1r = psum_ind(l1r)
+        g = pk.gamma_stats_packed(
+            rows, u_planes, t1, t0, tb=tb, tw=tw, dtype=kdtype,
+            interpret=interpret)
+        gamma_stat = u * pk.planes_to_flat(g)           # local individuals
+
+        if not local_mode:
+            new_lamb_b = jnp.stack(
+                [cfg.beta_a + t1 * l0r, cfg.beta_b + t0 * l1r], axis=-1)
+            lamb_l = lamb_l.at[idx].set(new_lamb_b)
+
+        gamma_stat = jax.lax.psum(gamma_stat, axis_name=SNP_AXIS)
+        rho = jnp.asarray(cfg.rho(t.astype(jnp.float32)), jnp.float32)
+        scale_g = jnp.float32(plan.l_padded) / jnp.float32(cfg.batch_size)
+        gamma_l = (1.0 - rho) * gamma_l + rho * (
+            cfg.alpha_value + scale_g * gamma_stat
+        )
+        return gamma_l, lamb_l
+
     def local_step(gamma_l, lamb_l, packed_l, t, key):
         # gamma_l: (N/I, K)  lamb_l: (L/S, K, 2)  packed_l: (L/S, W/I)
         s_idx = jax.lax.axis_index(SNP_AXIS)
@@ -238,6 +340,16 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
                 cfg.alpha_value + scale * gamma_stat
             )
             return gamma_l, lamb_l
+
+        if use_pk:
+            # Per-iteration Pallas kernels with psum('ind') BETWEEN
+            # kernel calls — the multi-host big-N hot path (each lambda
+            # statistic sums over individuals spanning ind shards; the
+            # coordinate-ascent loop stays in lockstep across 'ind'
+            # because every shard sees identical psum'ed stats). Big-N
+            # iteration subsampling (cfg.local_sub_n) applies per shard
+            # with globally-consistent N/Ns scaling.
+            return _local_step_pk(gamma_l, lamb_l, packed_l, t, kb, idx)
 
         rows = packed_l[idx]                            # (B_l, W/I)
         xb = _unpack_local(rows, rows.shape[1] * 4)     # (B_l, N/I)

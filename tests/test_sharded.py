@@ -208,3 +208,31 @@ def test_fused_kernel_rejects_sharded_ind_axis():
     plan = sharded.make_plan(cfg, mesh)
     with pytest.raises(ValueError, match="ind"):
         sharded.make_sharded_step(cfg, plan, mesh)
+
+
+def test_pallas_sharded_matches_dense_sharded():
+    """Per-iteration Pallas branch under shard_map with ind=2 (psum
+    between kernel calls) == dense sharded path on the same plan/stream.
+    This is the multi-host big-N hot path (interpret-mode on CPU)."""
+    n, l, k = 64, 64, 3
+    data = _mk(n, l, k, 11)
+    mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=2, snp=2))
+    cfg_pk = SVIConfig(n=n, l=l, k=k, batch_size=32, seed=11,
+                      kernel="pallas", lambda_mode="stored", local_iters=6)
+    plan = sharded.make_plan(cfg_pk, mesh)
+    assert plan.n_padded == 1024          # 512*ind quantum
+    _, packed = sharded.prepare(cfg_pk, data, mesh)
+    state0 = sharded.init_sharded_state(cfg_pk, plan, mesh)
+
+    outs = {}
+    for kern in ("pallas", "dense"):
+        cfg = cfg_pk.replace(kernel=kern)
+        step = jax.jit(sharded.make_sharded_step(cfg, plan, mesh))
+        s = state0
+        for _ in range(2):
+            s = step(s, packed)
+        outs[kern] = (np.asarray(s.gamma)[:n], np.asarray(s.lamb)[:l])
+    np.testing.assert_allclose(outs["pallas"][0], outs["dense"][0],
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(outs["pallas"][1], outs["dense"][1],
+                               rtol=2e-3, atol=2e-3)
