@@ -68,6 +68,10 @@ def _add_svi_args(p):
     p.add_argument("--eval-snp-pool", type=int, default=0,
                    help="restrict eval entries to this many unique SNPs "
                         "(bounds local-mode eval cost at big N; 0 = off)")
+    _add_dist_args(p)
+
+
+def _add_dist_args(p):
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize (TPU pods "
                         "auto-detect; otherwise pass --coordinator)")
@@ -331,6 +335,8 @@ def cmd_compute_beta(args):
 
     ckpt = os.path.join(args.run_dir, "checkpoint")
     state, cfg = restore_checkpoint(ckpt)
+    if args.distributed or args.coordinator is not None:
+        return _compute_beta_multiprocess(args, state, cfg)
     data = _load_data(args, seed=cfg.seed)
     if (data.n, data.l) != (cfg.n, cfg.l):
         raise SystemExit(
@@ -339,6 +345,43 @@ def cmd_compute_beta(args):
     out = os.path.join(args.run_dir, "beta.txt")
     _write_matrix(out, beta, data.snp_ids)
     print(out)
+
+
+def _compute_beta_multiprocess(args, state, cfg):
+    """Sharded compute-beta post-pass: each host loads only its byte
+    columns, lambda solves under shard_map with psum('ind'), the lead
+    host writes beta.txt (reference `-compute-beta`, SURVEY.md §3.2)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from terastructure_tpu.io.export import _write_matrix
+    from terastructure_tpu.models import psd
+    from terastructure_tpu.parallel import mesh as meshlib
+    from terastructure_tpu.parallel import multihost
+    from terastructure_tpu.parallel import sharded
+
+    if not args.bed:
+        raise SystemExit("distributed compute-beta requires --bed")
+    multihost.initialize(args.coordinator, args.num_processes,
+                         args.process_id)
+    spec = meshlib.choose_mesh_shape(
+        len(jax.devices()),
+        cfg.ind_shards or jax.process_count(), cfg.snp_shards)
+    mesh = meshlib.make_mesh(spec)
+    data = multihost.load_bed_shard(
+        args.bed, cfg, mesh, validation_frac=0, heldout_frac=0)
+    plan, packed = sharded.prepare(cfg, data, mesh)
+    state = sharded.shard_state(state, plan, mesh)
+    fn = sharded.make_sharded_compute_lambda(cfg, plan, mesh)
+    lamb = fn(state.gamma, packed)
+    rep = jax.jit(lambda x: x,
+                  out_shardings=NamedSharding(mesh, P()))
+    lamb_host = np.asarray(rep(lamb).addressable_data(0))[: cfg.l]
+    if jax.process_index() == 0:
+        beta = np.asarray(psd.beta_mean(lamb_host))
+        out = os.path.join(args.run_dir, "beta.txt")
+        _write_matrix(out, beta)
+        print(out)
 
 
 def cmd_simulate(args):
@@ -460,6 +503,7 @@ def main(argv=None):
     _add_data_args(p)
     p.add_argument("-k", type=int, required=False, help="(ignored; from run)")
     p.add_argument("--force-cpu", action="store_true")
+    _add_dist_args(p)
     p.set_defaults(fn=cmd_compute_beta)
 
     p = sub.add_parser("simulate", help="draw a PSD dataset, write PLINK files")

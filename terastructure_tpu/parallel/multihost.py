@@ -117,6 +117,11 @@ def load_bed_shard(
     hi_real = min(hi, w_real)
     packed_local, _, _ = read_bed(path, n, l, byte_cols=(lo, hi_real))
 
+    if validation_frac == 0 and heldout_frac == 0:
+        # No eval carve requested (e.g. the compute-beta post-pass).
+        return GenotypeData(n=n, l=l, packed=packed_local,
+                            byte_col_offset=lo)
+
     # Deterministic eval carve on the pool rows (identical on all hosts).
     rng = np.random.default_rng(seed + 1_000_003)
     cap = (GenotypeData.MAX_EVAL_ENTRIES if max_eval_entries is None

@@ -445,3 +445,104 @@ def shard_state(state: SVIState, plan: ShardPlan, mesh: Mesh) -> SVIState:
 def shard_packed(cfg, data, mesh):
     """Convenience: prepare() returning only the sharded packed matrix."""
     return prepare(cfg, data, mesh)[1]
+
+
+def make_sharded_compute_lambda(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
+                                *, block: int = 512):
+    """Sharded compute-beta core: converged lambda for EVERY SNP row.
+
+    The post-pass (svi/postprocess.compute_lambda, reference
+    `-compute-beta`, SURVEY.md §3.2) refits each SNP's lambda with theta
+    frozen. Multi-host, no host holds the full matrix, so the solve runs
+    under shard_map: each (ind, snp) shard processes its local SNP rows
+    in blocks, individual sums psum over 'ind' between iterations
+    (lockstep across ind shards), lambda lands sharded over 'snp'.
+
+    Returns fn(gamma_sharded, packed_sharded) -> lamb (l_padded, K, 2)
+    sharded with LAMB_SPEC.
+    """
+    from terastructure_tpu.ops import stats_pallas as pk
+
+    wl = packed_width(plan.n_padded) // plan.ind
+    l_local = plan.l_padded // plan.snp
+    blk = min(block, l_local)
+    nblocks = (l_local + blk - 1) // blk
+    pad_rows = nblocks * blk - l_local
+    psum_ind = functools.partial(jax.lax.psum, axis_name=IND_AXIS)
+    interpret = jax.default_backend() != "tpu"
+    try:
+        pk_tiles = pk.pick_tiles(blk, wl)
+    except ValueError:
+        pk_tiles = None
+    use_pk = pk_tiles is not None and (
+        cfg.kernel == "pallas"
+        or (cfg.kernel in ("auto", "fused")
+            and jax.default_backend() == "tpu")
+    )
+    kdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+              else jnp.float32)
+
+    def local_solve_rows(gamma_l, packed_l):
+        u = ops.exp_elog_theta(gamma_l)                 # (4*wl, K)
+        u_planes = pk.u_to_planes(u)
+        rows_all = packed_l
+        if pad_rows:
+            rows_all = jnp.concatenate(
+                [rows_all, jnp.full((pad_rows, wl), 0xFF, jnp.uint8)])
+        blocks = rows_all.reshape(nblocks, blk, wl)
+        lamb0 = jnp.stack(
+            [jnp.full((blk, cfg.k), cfg.beta_a, jnp.float32),
+             jnp.full((blk, cfg.k), cfg.beta_b, jnp.float32)], axis=-1)
+
+        def stats(rows, t1, t0):
+            """t-scaled lambda statistics, summed over ALL individuals
+            (t is shard-invariant, so psum after scaling is exact)."""
+            if use_pk:
+                tb, tw = pk_tiles
+                l0r, l1r = pk.lambda_stats_packed(
+                    rows, u_planes, t1, t0, tb=tb, tw=tw, dtype=kdtype,
+                    interpret=interpret)
+                l0r, l1r = t1 * l0r, t0 * l1r
+            else:
+                xb = _unpack_local(rows, 4 * wl)
+                a1, a0 = ops.allele_counts(xb, jnp.float32)
+                l0r, l1r = ops.lambda_stats(
+                    a1, a0, u, t1, t0, jnp.dtype(cfg.compute_dtype))
+            return psum_ind(l0r), psum_ind(l1r)
+
+        def solve_block(rows):
+            def cond(carry):
+                _, it, delta = carry
+                return jnp.logical_and(it < cfg.local_iters,
+                                       delta > cfg.local_tol)
+
+            def body(carry):
+                lam, it, _ = carry
+                t1, t0 = ops.exp_elog_beta(lam)
+                l0s, l1s = stats(rows, t1, t0)
+                new = jnp.stack([cfg.beta_a + l0s,
+                                 cfg.beta_b + l1s], axis=-1)
+                delta = (jnp.mean(jnp.abs(new - lam))
+                         / (jnp.mean(jnp.abs(lam)) + 1.0))
+                return new, it + 1, delta
+
+            lam, _, _ = jax.lax.while_loop(
+                cond, body, (lamb0, jnp.int32(0), jnp.float32(jnp.inf)))
+            # final exact update from the converged t's (matches
+            # postprocess.solve_lambda_blocks' trailing stats pass)
+            t1, t0 = ops.exp_elog_beta(lam)
+            l0s, l1s = stats(rows, t1, t0)
+            return jnp.stack([cfg.beta_a + l0s,
+                              cfg.beta_b + l1s], axis=-1)
+
+        lamb = jax.lax.map(solve_block, blocks)
+        return lamb.reshape(-1, cfg.k, 2)[:l_local]
+
+    solve = jax.shard_map(
+        local_solve_rows,
+        mesh=mesh,
+        in_specs=(meshlib.GAMMA_SPEC, meshlib.PACKED_SPEC),
+        out_specs=meshlib.LAMB_SPEC,
+        check_vma=False,
+    )
+    return jax.jit(solve)

@@ -236,3 +236,24 @@ def test_pallas_sharded_matches_dense_sharded():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(outs["pallas"][1], outs["dense"][1],
                                rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_compute_lambda_matches_unsharded():
+    """compute-beta core under shard_map (ind=2 x snp=2, psum'ed
+    lambda stats) == the single-device post-pass."""
+    from terastructure_tpu.svi.postprocess import compute_lambda
+
+    n, l, k = 64, 48, 3
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=16, seed=13, local_iters=8)
+    data = _mk(n, l, k, 13)
+    mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=2, snp=2))
+    plan, packed = sharded.prepare(cfg, data, mesh)
+    state = sharded.init_sharded_state(cfg, plan, mesh)
+
+    fn = sharded.make_sharded_compute_lambda(cfg, plan, mesh, block=8)
+    lamb_sh = np.asarray(fn(state.gamma, packed))[:l]
+
+    gamma_host = np.asarray(state.gamma)[:n]
+    lamb_ref = np.asarray(compute_lambda(
+        cfg, jnp.asarray(gamma_host), np.asarray(data.packed), block=8))
+    np.testing.assert_allclose(lamb_sh, lamb_ref, rtol=1e-4, atol=1e-4)
