@@ -11,6 +11,11 @@ configs 2/3/5 run synthetic PSD draws at the published shapes
 (BASELINE.json:6-10). --scale shrinks N and L proportionally for
 smoke runs; config 5 additionally reports the sharded path on however
 many devices exist. Prints one JSON line per run.
+
+Big-N simulation costs tens of host-CPU minutes (100K x 100K ~ 40 min)
+while the fit is seconds, so the simulated packed matrix + truth theta
+are cached under /tmp keyed by shape/seed/missing-frac (--no-sim-cache
+to disable).
 """
 
 from __future__ import annotations
@@ -33,6 +38,41 @@ CONFIGS = {
 }
 
 
+def _simulate(args, n, l, k):
+    """Chunked PSD draw (binomial via two uniform thresholds — fast).
+
+    Returns (packed (l, ceil(n/4)) uint8, theta (n, k) f32, sim_s).
+    """
+    import numpy as np
+
+    from terastructure_tpu.data.pack import pack2bit
+
+    t0 = time.time()
+    rng = np.random.default_rng(args.seed)
+    dominant = rng.integers(0, k, size=n)
+    conc = np.full((n, k), 0.2)
+    conc[np.arange(n), dominant] = 5.0
+    theta = np.empty((n, k), np.float32)
+    for i in range(0, n, 1 << 16):
+        sl = slice(i, min(i + (1 << 16), n))
+        g = rng.gamma(conc[sl], 1.0)
+        theta[sl] = (g / g.sum(1, keepdims=True)).astype(np.float32)
+    packed = np.empty((l, (n + 3) // 4), np.uint8)
+    # SNP-chunk size bounded so the (n, chunk) f32 temporaries stay ~2 GB.
+    jchunk = max(1024, min(1 << 16, (1 << 29) // max(n, 1)))
+    for j0 in range(0, l, jchunk):
+        j1 = min(j0 + jchunk, l)
+        beta = np.clip(rng.beta(1, 1, size=(j1 - j0, k)), 1e-4,
+                       1 - 1e-4).astype(np.float32)
+        p = np.clip(theta @ beta.T, 0, 1)
+        x = ((rng.random(p.shape, np.float32) < p).astype(np.int8)
+             + (rng.random(p.shape, np.float32) < p).astype(np.int8)).T
+        if args.missing_frac > 0:
+            x[rng.random(x.shape, np.float32) < args.missing_frac] = 3
+        packed[j0:j1] = pack2bit(x)
+    return packed, theta, time.time() - t0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, required=True, choices=CONFIGS)
@@ -44,6 +84,9 @@ def main():
     ap.add_argument("--missing-frac", type=float, default=0.0,
                     help="simulate this fraction of missing genotypes "
                          "(real data is 1-5%% missing)")
+    ap.add_argument("--no-sim-cache", dest="sim_cache",
+                    action="store_false", default=True,
+                    help="disable the /tmp simulation cache")
     args = ap.parse_args()
 
     spec = CONFIGS[args.config]
@@ -55,38 +98,24 @@ def main():
 
     from terastructure_tpu.config import SVIConfig
     from terastructure_tpu.data import GenotypeData
-    from terastructure_tpu.data.pack import pack2bit
     from terastructure_tpu.models import psd
     from terastructure_tpu.utils import mean_abs_theta_error
     from terastructure_tpu.utils.profiling import StepMeter
 
-    t0 = time.time()
-    # Chunked simulation (binomial via two uniform thresholds — fast).
-    rng = np.random.default_rng(args.seed)
-    dominant = rng.integers(0, k, size=n)
-    conc = np.full((n, k), 0.2)
-    conc[np.arange(n), dominant] = 5.0
-    theta = np.empty((n, k), np.float32)
-    for i in range(0, n, 1 << 16):
-        sl = slice(i, min(i + (1 << 16), n))
-        g = rng.gamma(conc[sl], 1.0)
-        theta[sl] = (g / g.sum(1, keepdims=True)).astype(np.float32)
-    packed = np.empty((l, (n + 3) // 4), np.uint8)
-    beta_true = np.empty((l, k), np.float32)
-    # SNP-chunk size bounded so the (n, chunk) f32 temporaries stay ~2 GB.
-    jchunk = max(1024, min(1 << 16, (1 << 29) // max(n, 1)))
-    for j0 in range(0, l, jchunk):
-        j1 = min(j0 + jchunk, l)
-        beta = np.clip(rng.beta(1, 1, size=(j1 - j0, k)), 1e-4,
-                       1 - 1e-4).astype(np.float32)
-        beta_true[j0:j1] = beta
-        p = np.clip(theta @ beta.T, 0, 1)
-        x = ((rng.random(p.shape, np.float32) < p).astype(np.int8)
-             + (rng.random(p.shape, np.float32) < p).astype(np.int8)).T
-        if args.missing_frac > 0:
-            x[rng.random(x.shape, np.float32) < args.missing_frac] = 3
-        packed[j0:j1] = pack2bit(x)
-    sim_s = time.time() - t0
+    cache = (f"/tmp/terasim_{spec['name']}_s{args.seed}"
+             f"_{n}x{l}k{k}_m{args.missing_frac}.npz"
+             if args.sim_cache else None)
+    if cache and os.path.exists(cache):
+        t0 = time.time()
+        z = np.load(cache)
+        packed, theta = z["packed"].copy(), z["theta"]
+        sim_s = time.time() - t0
+        print(f"loaded cached sim from {cache} ({sim_s:.1f}s)",
+              file=sys.stderr)
+    else:
+        packed, theta, sim_s = _simulate(args, n, l, k)
+        if cache:
+            np.savez(cache, packed=packed, theta=theta)
 
     # Packed-native eval carve (data/dataset.py): entry count is capped
     # only by MC-error needs; at big N the UNIQUE eval SNPs are pooled so
@@ -100,10 +129,10 @@ def main():
         validation_frac=0.005, heldout_frac=0.005,
         max_eval_entries=n_eval, eval_snp_pool=pool,
     )
-    from terastructure_tpu.data.pack import unpack2bit
     eval_s = time.time() - t0
 
     if args.config == 4:
+        from terastructure_tpu.data.pack import unpack2bit
         from terastructure_tpu.mcmc.validate import compare_svi_mcmc
 
         x_dense = unpack2bit(packed, n).T
