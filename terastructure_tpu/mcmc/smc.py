@@ -31,6 +31,7 @@ class SMCState(NamedTuple):
     temp: jnp.ndarray        # current inverse temperature in [0, 1]
     key: jnp.ndarray
     log_evidence: jnp.ndarray  # running log normalizing-constant estimate
+    eps: jnp.ndarray         # HMC mutation step size (collectively adapted)
 
 
 def ess(log_w):
@@ -84,6 +85,8 @@ def run_smc(
     ess_target_frac: float = 0.5,
     max_stages: int = 100,
     shard_particles: bool = True,
+    target_accept: float = 0.65,
+    adapt_eps: bool = True,
 ):
     """Adaptive tempered SMC from the prior sample `init_particles`.
 
@@ -95,6 +98,11 @@ def run_smc(
     (mcmc/chains.py). Mutation/weighting stay communication-free; the
     ESS reduction and the resampling gather become the collectives XLA
     derives from the shardings (BASELINE.json:4 "collective resampling").
+
+    adapt_eps: collective step-size adaptation (BASELINE.json:4) — after
+    each stage the HMC mutation step size is rescaled from the MEAN
+    acceptance across ALL particles (a cross-particle reduction), log-eps
+    moving toward target_accept. `mutation_eps` seeds the schedule.
     """
     v_log_lik = jax.vmap(log_lik)
     v_log_prior = jax.vmap(log_prior)
@@ -128,23 +136,32 @@ def run_smc(
         inv_mass = jax.tree.map(jnp.ones_like, jax.tree.map(
             lambda x: x[0], particles))
 
-        def mutate_one(key, particle):
-            lp = tempered(particle)
+        # Mutation rounds with COLLECTIVE step-size adaptation: after
+        # each round the pooled (all-particle) acceptance moves log-eps
+        # toward target_accept, so eps tracks the sharpening tempered
+        # posterior within the stage rather than lagging a stage behind.
+        def mut_round(carry, _):
+            particles, eps, key = carry
+            key, k_round = jax.random.split(key)
+            keys = jax.random.split(k_round, n_particles)
 
-            def body(c, _):
-                particle, lp, key = c
-                particle, lp, acc, key = kernel(
-                    key, particle, lp, jnp.asarray(mutation_eps), inv_mass
-                )
-                return (particle, lp, key), acc
+            def one(kk, p):
+                lp = tempered(p)
+                p2, _, acc, _ = kernel(kk, p, lp, eps, inv_mass)
+                return p2, acc
 
-            (particle, _, _), accs = jax.lax.scan(
-                body, (particle, lp, key), None, length=n_mutations
-            )
-            return particle, jnp.mean(accs)
+            particles, accs = jax.vmap(one)(keys, particles)
+            mean_acc = jnp.mean(accs)   # cross-particle reduction
+            if adapt_eps:
+                eps = jnp.clip(
+                    eps * jnp.exp(0.7 * (mean_acc - target_accept)),
+                    1e-4, 10.0)
+            return (particles, eps, key), mean_acc
 
-        keys = jax.random.split(k_mut, n_particles)
-        particles, accs = jax.vmap(mutate_one)(keys, particles)
+        (particles, eps, _), accs = jax.lax.scan(
+            mut_round, (particles, state.eps, k_mut), None,
+            length=n_mutations)
+        mean_acc = jnp.mean(accs)
 
         return SMCState(
             particles=particles,
@@ -152,7 +169,8 @@ def run_smc(
             temp=new_temp,
             key=key,
             log_evidence=state.log_evidence + log_z_inc,
-        ), jnp.mean(accs)
+            eps=eps,
+        ), mean_acc
 
     state = SMCState(
         particles=init_particles,
@@ -160,18 +178,22 @@ def run_smc(
         temp=jnp.asarray(0.0),
         key=key,
         log_evidence=jnp.asarray(0.0),
+        eps=jnp.asarray(float(mutation_eps)),
     )
     temps = [0.0]
     acc_rates = []
+    eps_trace = []
     for _ in range(max_stages):
         state, acc = stage(state)
         temps.append(float(state.temp))
         acc_rates.append(float(acc))
+        eps_trace.append(float(state.eps))
         if temps[-1] >= 1.0 - 1e-9:
             break
     return state.particles, {
         "temps": temps,
         "acceptance": acc_rates,
+        "eps": eps_trace,
         "log_evidence": float(state.log_evidence),
         "n_stages": len(temps) - 1,
     }
