@@ -41,3 +41,35 @@ def test_simulate_respects_missing_frac():
     _, _, x = simulate_psd(50, 80, 3, missing_frac=0.1, seed=4)
     frac = (x == MISSING).mean()
     assert 0.05 < frac < 0.15
+
+
+def test_from_bed_is_packed_native(tmp_path, monkeypatch):
+    """from_bed must never densify (biobank RSS requirement, VERDICT r1
+    item 1): the carve works on the 2-bit matrix directly."""
+    import terastructure_tpu.data.dataset as ds
+    from terastructure_tpu.data import GenotypeData, simulate_psd
+    from terastructure_tpu.data.bed import write_bed, write_bim, write_fam
+    from terastructure_tpu.data.pack import pack2bit
+
+    n, l, k = 52, 80, 3
+    _, _, x = simulate_psd(n, l, k, seed=5, missing_frac=0.03)
+    stem = str(tmp_path / "g")
+    write_bed(stem + ".bed", pack2bit(np.ascontiguousarray(x.T)), n)
+    write_fam(stem + ".fam", [f"i{i}" for i in range(n)])
+    write_bim(stem + ".bim", [f"s{j}" for j in range(l)])
+
+    def boom(*a, **kw):
+        raise AssertionError("from_bed densified the matrix")
+
+    monkeypatch.setattr(ds, "unpack2bit", boom)
+    data = GenotypeData.from_bed(stem + ".bed", seed=5)
+    assert data.n == n and data.l == l
+    assert data.packed.shape == (l, (n + 3) // 4)
+    assert len(data.validation) > 0 and len(data.heldout) > 0
+    # eval entries were recoded MISSING in training, values preserved
+    v = data.validation
+    assert set(np.unique(v.x)) <= {0, 1, 2}
+    from terastructure_tpu.data.dataset import _lookup_packed
+    assert (_lookup_packed(data.packed, v.ind_idx, v.snp_idx) == 3).all()
+    # and they match the original dense matrix
+    np.testing.assert_array_equal(v.x, x[v.ind_idx, v.snp_idx])
