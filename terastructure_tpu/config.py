@@ -69,6 +69,16 @@ class SVIConfig:
     # disables; active only when padded N >= 4x this value.
     local_sub_n: int = 8192
 
+    # With local_sub_n active: run one exact full-N refinement sweep
+    # between the subsampled solve and the final stats pass. The stats
+    # pass is itself a full-N lambda iteration (new lambda = prior +
+    # exact stats), so the extra sweep only contracts the subsample
+    # perturbation in the t-factors the GAMMA statistic sees — measured
+    # ~8 ms of an 18.6 ms step at N=100K B=4096 K=10
+    # (benchmarks/profile_bign.py). The eval scorer's lambda re-solve
+    # (svi/postprocess.solve_lambda_blocks) has never used one.
+    local_refine_full: bool = True
+
     # Heldout/validation entry fractions (SURVEY.md §1.2 step 5).
     validation_frac: float = 0.005
     heldout_frac: float = 0.005

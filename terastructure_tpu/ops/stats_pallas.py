@@ -208,6 +208,98 @@ def gamma_stats_packed(rows, u_planes, t1, t0, *, tb=DEF_TB, tw=DEF_TW,
     return g
 
 
+def _batch_stats_kernel(bytes_ref, up_ref, t1_ref, t0_ref,
+                        g_ref, l0_ref, l1_ref, *, tb, dtype):
+    """Fused lambda+gamma statistics: one unpack + one D-dot per tile.
+
+    Grid (nw, nb) — w-tiles slow, batch-tiles fast. gamma accumulates in
+    its (4, tw, K) block over the fast batch axis (grid-consecutive
+    revisits); lambda accumulates into a full-(B, K) block (the same
+    block every iteration, trivially consecutive) at dynamic row offset
+    i*tb, initialized during the first w-tile sweep."""
+    j = pl.program_id(0)                  # slow axis: w tiles
+    i = pl.program_id(1)                  # fast axis: batch tiles
+
+    @pl.when(i == 0)
+    def _():
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    t_cat = jnp.concatenate(
+        [t1_ref[:].astype(dtype), t0_ref[:].astype(dtype)], axis=0)
+    r, u_cat = _ratios_tile(bytes_ref[:], up_ref, t_cat, dtype)
+    tw = up_ref.shape[1]
+    k = up_ref.shape[2]
+    g_ref[:] += jax.lax.dot_general(
+        r, t_cat, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(4, tw, k)
+    acc = jnp.dot(r, u_cat, preferred_element_type=jnp.float32)  # (2TB, K)
+    sl = pl.ds(i * tb, tb)
+
+    @pl.when(j == 0)
+    def _():
+        l0_ref[sl] = jnp.zeros((tb, k), jnp.float32)
+        l1_ref[sl] = jnp.zeros((tb, k), jnp.float32)
+
+    l0_ref[sl] += acc[:tb]
+    l1_ref[sl] += acc[tb:]
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "tw", "dtype", "interpret"))
+def batch_stats_fused_packed(rows, u, t1, t0, *, tb, tw,
+                             dtype=jnp.bfloat16, interpret=False):
+    """All sufficient stats from packed rows in ONE kernel.
+
+    Semantically identical to batch_stats_packed, but the genotype
+    unpack and the D = T·Uᵀ dot (half the matmul FLOPs of a stats pass)
+    are shared between the lambda and gamma accumulations instead of
+    recomputed by two separate kernels.
+
+    Measured SLOWER than the two-kernel pair on v5e (13.4 vs 12.5 ms at
+    N=100K B=4096 K=10, benchmarks/profile_bign.py): at K<<128 the
+    matmuls are lane-padding-bound, so saving the D recompute buys less
+    than the per-tile lambda read-modify-write costs. Kept as the
+    reference fusion (it wins when K ~ 128 makes the D-dot dominant).
+
+    Returns (gamma_stat (N, K), l0 (B, K), l1 (B, K)).
+    """
+    u_planes = u_to_planes(u)
+    b, w = rows.shape
+    k = u_planes.shape[-1]
+    nb, nw = _tiles(b, w, tb, tw)
+    kern = functools.partial(_batch_stats_kernel, tb=tb, dtype=dtype)
+    g, l0, l1 = pl.pallas_call(
+        kern,
+        grid=(nw, nb),
+        in_specs=[
+            pl.BlockSpec((tb, tw), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tw, k), lambda j, i: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, tw, k), lambda j, i: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, w, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows, u_planes, t1, t0)
+    gamma_stat = u * planes_to_flat(g)
+    return gamma_stat, t1 * l0, t0 * l1
+
+
 def local_solve_packed(rows, u, lamb_b, *, beta_a, beta_b, local_iters,
                        local_tol, tb, tw, dtype=jnp.bfloat16,
                        interpret=False, stat_scale=1.0):

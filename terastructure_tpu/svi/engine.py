@@ -180,14 +180,17 @@ def step_core_packed(cfg: SVIConfig, gamma, rows, lamb_b, *,
             tb=tb, tw=tw_sub, dtype=dtype, interpret=interpret,
             stat_scale=wp / sub_w,
         )
-        # One exact full-N refinement iteration contracts the subsample
-        # perturbation before the final stats pass (~1 extra sweep).
-        lamb_b = pk.local_solve_packed(
-            rows, u, lamb_b,
-            beta_a=cfg.beta_a, beta_b=cfg.beta_b,
-            local_iters=1, local_tol=0.0,
-            tb=tb, tw=tw, dtype=dtype, interpret=interpret,
-        )
+        if cfg.local_refine_full:
+            # Optional exact full-N refinement iteration between the
+            # subsampled solve and the final stats pass (the stats pass
+            # below is itself a full-N lambda iteration; see
+            # SVIConfig.local_refine_full).
+            lamb_b = pk.local_solve_packed(
+                rows, u, lamb_b,
+                beta_a=cfg.beta_a, beta_b=cfg.beta_b,
+                local_iters=1, local_tol=0.0,
+                tb=tb, tw=tw, dtype=dtype, interpret=interpret,
+            )
     else:
         lamb_b = pk.local_solve_packed(
             rows, u, lamb_b,
@@ -197,6 +200,11 @@ def step_core_packed(cfg: SVIConfig, gamma, rows, lamb_b, *,
         )
     e1, e0 = psd.elog_beta(lamb_b)
     t1, t0 = jnp.exp(e1), jnp.exp(e0)
+    # Two-kernel stats pair: measured FASTER than the one-kernel
+    # batch_stats_fused_packed on v5e (12.5 vs 13.4 ms at
+    # N=100K B=4096 K=10, benchmarks/profile_bign.py) despite the
+    # recomputed D-dot — the fused kernel's lambda read-modify-write
+    # costs more than the saved matmul at K<<128.
     gamma_stat, l0, l1 = pk.batch_stats_packed(
         rows, u, t1, t0, tb=tb, tw=tw, dtype=dtype, interpret=interpret)
     new_lamb_b = jnp.stack(
@@ -313,6 +321,10 @@ def make_step(cfg: SVIConfig, l_sample: int | None = None):
                 lamb = lamb.at[idx].set(new_lamb_b)
         else:
             if local_mode:
+                # Plain per-row gather. At big W the reshape-based
+                # grouped gather is 10x SLOWER on v5e (42 vs 4 ms at
+                # W=25088 B=4096, benchmarks/profile_bign.py) — grouping
+                # only pays in the fused path's in-kernel DMA gather.
                 idx = _sample_batch(kb, l_s, b)
                 rows = packed[idx]
                 lamb_b = jnp.stack(
