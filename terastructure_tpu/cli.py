@@ -65,6 +65,14 @@ def _add_svi_args(p):
                    help="mesh axis over SNPs (chips); 0 = auto")
     p.add_argument("--force-cpu", action="store_true",
                    help="run on CPU (tests/debug)")
+    p.add_argument("--stream", action="store_true",
+                   help="out-of-core fit: keep the packed matrix host-side "
+                        "(disk memmap for --bed) and stream minibatches to "
+                        "the device — for datasets larger than device HBM "
+                        "or host RAM (requires --lambda-mode local)")
+    p.add_argument("--stream-cache", default=None,
+                   help="path for the on-disk packed cache of --bed "
+                        "(default: <bed stem>.terapacked.npy)")
     p.add_argument("--eval-snp-pool", type=int, default=0,
                    help="restrict eval entries to this many unique SNPs "
                         "(bounds local-mode eval cost at big N; 0 = off)")
@@ -108,11 +116,26 @@ def _load_data(args, *, seed: int):
     hf = getattr(args, "heldout_frac", 0.005)
     pool = getattr(args, "eval_snp_pool", 0)
     if args.bed:
-        # Packed-native ingest: .bed -> 2-bit working layout directly,
-        # peak host RSS O(packed) not O(dense) (reference SNP::read_bed).
-        data = GenotypeData.from_bed(
-            args.bed, validation_frac=vf, heldout_frac=hf, seed=seed,
-            eval_snp_pool=pool)
+        if getattr(args, "stream", False):
+            # Out-of-core ingest: translate the .bed into an on-disk
+            # packed cache (chunked, O(chunk) RAM) and carve eval sets
+            # on the resulting memmap — nothing biobank-sized is ever
+            # resident (svi/stream.py).
+            from terastructure_tpu.data.bed import bed_to_packed_cache
+
+            cache = (getattr(args, "stream_cache", None)
+                     or os.path.splitext(args.bed)[0] + ".terapacked.npy")
+            packed, ind_ids, snp_ids = bed_to_packed_cache(args.bed, cache)
+            data = GenotypeData.from_packed(
+                packed, len(ind_ids), validation_frac=vf, heldout_frac=hf,
+                seed=seed, ind_ids=ind_ids, snp_ids=snp_ids,
+                eval_snp_pool=pool)
+        else:
+            # Packed-native ingest: .bed -> 2-bit working layout directly,
+            # peak host RSS O(packed) not O(dense) (reference SNP::read_bed).
+            data = GenotypeData.from_bed(
+                args.bed, validation_frac=vf, heldout_frac=hf, seed=seed,
+                eval_snp_pool=pool)
     elif args.txt:
         x = read_text_genotypes(args.txt).T            # (N, L)
         if args.n and x.shape[0] != args.n:
@@ -290,7 +313,12 @@ def cmd_fit(args):
             trace_path=os.path.join(sub, "validation.txt"),
             checkpoint_dir=ckpt_dir,
         )
-        if args.ind_shards or args.snp_shards or len(jax.devices()) > 1:
+        if args.stream:
+            if args.ind_shards or args.snp_shards:
+                raise SystemExit("--stream is a single-device path; "
+                                 "drop --ind-shards/--snp-shards")
+            res = fit(cfg, data, stream=True, **fit_kw)
+        elif args.ind_shards or args.snp_shards or len(jax.devices()) > 1:
             from terastructure_tpu.parallel import fit_sharded
 
             res = fit_sharded(cfg, data, **fit_kw)
@@ -341,7 +369,12 @@ def cmd_compute_beta(args):
     if (data.n, data.l) != (cfg.n, cfg.l):
         raise SystemExit(
             f"data shape {(data.n, data.l)} != run config {(cfg.n, cfg.l)}")
-    beta = compute_beta(cfg, state.gamma[: cfg.n], data.packed)
+    if getattr(args, "stream", False):
+        from terastructure_tpu.svi.stream import compute_beta_stream
+
+        beta = compute_beta_stream(cfg, state.gamma[: cfg.n], data.packed)
+    else:
+        beta = compute_beta(cfg, state.gamma[: cfg.n], data.packed)
     out = os.path.join(args.run_dir, "beta.txt")
     _write_matrix(out, beta, data.snp_ids)
     print(out)
@@ -503,6 +536,9 @@ def main(argv=None):
     _add_data_args(p)
     p.add_argument("-k", type=int, required=False, help="(ignored; from run)")
     p.add_argument("--force-cpu", action="store_true")
+    p.add_argument("--stream", action="store_true",
+                   help="out-of-core post-pass over a host-side matrix")
+    p.add_argument("--stream-cache", default=None)
     _add_dist_args(p)
     p.set_defaults(fn=cmd_compute_beta)
 

@@ -146,6 +146,69 @@ def read_bed(
     return out, ind_ids, snp_ids
 
 
+def bed_to_packed_cache(
+    path: str,
+    cache_path: str,
+    n: Optional[int] = None,
+    l: Optional[int] = None,
+    *,
+    native: bool = True,
+    chunk_bytes: int = 1 << 28,
+) -> tuple[np.ndarray, Optional[list], Optional[list]]:
+    """Translate a PLINK .bed into an on-disk packed cache, chunked.
+
+    The out-of-core ingest path (svi/stream.py): when even the packed
+    matrix (n*l/4 bytes — 250 GB at 1M x 1M) exceeds host RAM, the
+    translated codes go straight to a disk file and come back as a
+    writable np.memmap; peak host memory stays at ~chunk_bytes. The
+    cache is our code space, so GenotypeData.from_packed can carve eval
+    sets on it in place (writes go to the cache file, never the .bed).
+
+    Returns (packed r+ memmap (l, ceil(n/4)), ind_ids, snp_ids).
+    """
+    stem, ext = os.path.splitext(path)
+    if ext != ".bed":
+        raise ValueError(f"expected a .bed path, got {path}")
+    ind_ids = snp_ids = None
+    if n is None:
+        ind_ids = read_fam(stem + ".fam")
+        n = len(ind_ids)
+    if l is None:
+        snp_ids = read_bim(stem + ".bim")
+        l = len(snp_ids)
+    w_bed = (n + 3) // 4
+    with open(path, "rb") as f:
+        header = f.read(3)
+        if header[:2] != _BED_MAGIC:
+            raise ValueError(f"{path}: bad magic; not a PLINK .bed")
+        if header[2] != _SNP_MAJOR:
+            raise ValueError(f"{path}: individual-major .bed not supported")
+    size = os.path.getsize(path) - 3
+    if size != l * w_bed:
+        raise ValueError(f"{path}: size mismatch for n={n} l={l}")
+
+    src = np.memmap(path, dtype=np.uint8, mode="r", offset=3,
+                    shape=(l, w_bed))
+    dst = np.lib.format.open_memmap(
+        cache_path, mode="w+", dtype=np.uint8, shape=(l, w_bed))
+    rows_per_chunk = max(chunk_bytes // max(w_bed, 1), 1)
+    for lo in range(0, l, rows_per_chunk):
+        hi = min(lo + rows_per_chunk, l)
+        raw = np.ascontiguousarray(src[lo:hi])
+        if native:
+            try:
+                from terastructure_tpu.native import bed_translate
+
+                out = bed_translate(raw)
+            except ImportError:
+                out = _LUT[raw]
+        else:
+            out = _LUT[raw]
+        dst[lo:hi] = _fix_padding(out, n)
+    dst.flush()
+    return dst, ind_ids, snp_ids
+
+
 def read_bed_rows(path: str, n: int, l: int, rows: np.ndarray,
                   *, native: bool = True) -> np.ndarray:
     """Gather specific SNP rows (full width) from a .bed via memmap.

@@ -50,6 +50,7 @@ def fit(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 5,
     callback: Optional[Callable[[dict], None]] = None,
+    stream: bool = False,
 ) -> FitResult:
     """Run SVI until convergence or cfg.max_steps.
 
@@ -57,6 +58,11 @@ def fit(
     (parallel/) substitute its own chunk runner while reusing this
     convergence logic; `packed` may be a pre-sharded device array
     (otherwise the host matrix is width-padded and device_put here).
+
+    stream=True keeps the packed matrix HOST-side (ndarray or np.memmap)
+    and double-buffers minibatch rows to the device per step
+    (svi/stream.py) — the out-of-core path for datasets larger than HBM
+    or host RAM. Requires lambda_mode='local', single process.
     """
     assert cfg.n == data.n and cfg.l == data.l, "config/data shape mismatch"
     multiproc = jax.process_count() > 1
@@ -70,12 +76,24 @@ def fit(
             arr = np.pad(arr, ((0, 0), (0, wpad)), constant_values=0xFF)
         return arr
 
-    if packed is None:
+    if stream:
+        from terastructure_tpu.svi import stream as stream_mod
+
+        if multiproc:
+            raise ValueError("stream=True is a single-process path; "
+                             "use the sharded fit for multi-host")
+        if step_fn_factory is not None or packed is not None:
+            raise ValueError("stream=True supplies its own chunk runner "
+                             "over the host matrix")
+        packed = data.packed                    # stays host-side
+        factory = stream_mod.make_stream_chunk
+    elif packed is None:
         packed = jax.device_put(_pad_width(np.asarray(data.packed)))
     if state is None:
         state = engine.init_state(cfg, l_padded=packed.shape[0])
 
-    factory = step_fn_factory or engine.make_run_chunk
+    factory = (factory if stream
+               else step_fn_factory or engine.make_run_chunk)
     run_chunk = factory(cfg, cfg.rfreq, int(packed.shape[0]))
 
     local_mode = cfg.lambda_mode == "local"
@@ -194,9 +212,15 @@ def fit(
     elif local_mode:
         # Materialize the full converged lambda for export/checkpoint/
         # heldout (lambda is derived state in this mode).
-        from terastructure_tpu.svi.postprocess import compute_lambda
+        if stream:
+            from terastructure_tpu.svi.stream import compute_lambda_stream
 
-        lamb_full = compute_lambda(cfg, state.gamma[: cfg.n], packed)
+            lamb_full = jnp.asarray(compute_lambda_stream(
+                cfg, state.gamma[: cfg.n], packed))
+        else:
+            from terastructure_tpu.svi.postprocess import compute_lambda
+
+            lamb_full = compute_lambda(cfg, state.gamma[: cfg.n], packed)
         lamb_state = state.lamb
         if lamb_state.shape[0] > cfg.l:
             lamb_full = jnp.concatenate(
