@@ -73,11 +73,32 @@ class SVIConfig:
     # between the subsampled solve and the final stats pass. The stats
     # pass is itself a full-N lambda iteration (new lambda = prior +
     # exact stats), so the extra sweep only contracts the subsample
-    # perturbation in the t-factors the GAMMA statistic sees — measured
-    # ~8 ms of an 18.6 ms step at N=100K B=4096 K=10
-    # (benchmarks/profile_bign.py). The eval scorer's lambda re-solve
-    # (svi/postprocess.solve_lambda_blocks) has never used one.
-    local_refine_full: bool = True
+    # perturbation in the t-factors the GAMMA statistic sees. Measured
+    # (1x v5e, benchmarks/results/refine_ab.json): switching it OFF is
+    # +28% step throughput at 100Kx100K K=10 (14.8 vs 18.9 ms/step) with
+    # heldout-ll delta 7e-5 nats and theta-MAE delta 5e-4 at 32Kx10K —
+    # within run noise, matching the eval scorer's lambda re-solve
+    # (svi/postprocess.solve_lambda_blocks), which never refined.
+    local_refine_full: bool = False
+
+    # With local_sub_n active: compute the phi-ratio divides of the
+    # SUBSAMPLED solve iterations with the VPU's fast reciprocal
+    # approximation (~2^-12 relative error) instead of exact division.
+    # The subsampled lambda already carries ~1/sqrt(sub_n) statistical
+    # noise, so the approximation is far below the noise floor; the
+    # exact full-N passes (refinement, final stats) always use the true
+    # divide. Only affects the Pallas path.
+    local_sub_approx_div: bool = True
+
+    # Gather minibatch rows with the Pallas DMA block-gather kernel
+    # (ops/gather.py: concurrent HBM->HBM copies of 8-row-aligned
+    # blocks) instead of XLA's latency-bound row gather (~1 us/row on
+    # v5e). Implies the minibatch is drawn as batch_size/8 uniform
+    # blocks of 8 consecutive SNPs — unbiased for the gamma estimate,
+    # same argument as snp_group (single-row HBM DMAs are illegal under
+    # Mosaic int8 tiling). Engages on TPU at biobank L (> 65536) when
+    # L % 8 == 0 and batch_size % 128 == 0; elsewhere packed[idx].
+    dma_gather: bool = True
 
     # Heldout/validation entry fractions (SURVEY.md §1.2 step 5).
     validation_frac: float = 0.005

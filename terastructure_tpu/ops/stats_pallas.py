@@ -65,12 +65,18 @@ def _plane_counts(bytes_blk, s, dtype):
     return a1, a0
 
 
-def _ratios_tile(blk, up_ref, t_cat, dtype):
+def _ratios_tile(blk, up_ref, t_cat, dtype, approx_div=False):
     """Shared tile core: planar counts -> big-dot ratios.
 
     blk (TB, TW) bytes, t_cat (2TB, K); returns (r (2TB, 4TW), u_cat
     (4TW, K)) — one D-dot instead of 8 small ones (MXU launch latency
-    dominates at K=8; see fused_step.one_pass)."""
+    dominates at K=8; see fused_step.one_pass).
+
+    approx_div divides with the VPU's fast reciprocal approximation
+    (~2^-12 relative error) instead of the exact divide — safe for the
+    big-N SUBSAMPLED solve iterations, whose lambda already carries
+    ~1/sqrt(sub_n) statistical noise; exact passes keep the true divide.
+    """
     u_cat = up_ref[:].reshape(-1, up_ref.shape[-1]).astype(dtype)  # (4TW,K)
     counts = [_plane_counts(blk, s, dtype) for s in range(4)]
     a_cat = jnp.concatenate(
@@ -79,12 +85,16 @@ def _ratios_tile(blk, up_ref, t_cat, dtype):
     d = jax.lax.dot_general(
         t_cat, u_cat, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # (2TB, 4TW)
-    r = (a_cat.astype(jnp.float32) / (d + _EPS)).astype(dtype)
+    if approx_div:
+        r = (a_cat.astype(jnp.float32)
+             * pl.reciprocal(d + _EPS, approx=True)).astype(dtype)
+    else:
+        r = (a_cat.astype(jnp.float32) / (d + _EPS)).astype(dtype)
     return r, u_cat
 
 
 def _lambda_kernel(bytes_ref, up_ref, t1_ref, t0_ref, l0_ref, l1_ref,
-                   *, dtype):
+                   *, dtype, approx_div=False):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -95,7 +105,8 @@ def _lambda_kernel(bytes_ref, up_ref, t1_ref, t0_ref, l0_ref, l1_ref,
     tb = t1_ref.shape[0]
     t_cat = jnp.concatenate(
         [t1_ref[:].astype(dtype), t0_ref[:].astype(dtype)], axis=0)
-    r, u_cat = _ratios_tile(bytes_ref[:], up_ref, t_cat, dtype)
+    r, u_cat = _ratios_tile(bytes_ref[:], up_ref, t_cat, dtype,
+                            approx_div=approx_div)
     acc = jnp.dot(r, u_cat, preferred_element_type=jnp.float32)  # (2TB, K)
     l0_ref[:] += acc[:tb]
     l1_ref[:] += acc[tb:]
@@ -136,9 +147,11 @@ def pick_tiles(b: int, w: int) -> tuple[int, int]:
     return tb, tw
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "tw", "dtype", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tb", "tw", "dtype", "interpret",
+                                             "approx_div"))
 def lambda_stats_packed(rows, u_planes, t1, t0, *, tb=DEF_TB, tw=DEF_TW,
-                        dtype=jnp.bfloat16, interpret=False):
+                        dtype=jnp.bfloat16, interpret=False,
+                        approx_div=False):
     """Raw lambda statistics from packed genotype rows.
 
     rows: (B, W) uint8; u_planes: (4, W, K) f32; t1/t0: (B, K) f32.
@@ -147,7 +160,8 @@ def lambda_stats_packed(rows, u_planes, t1, t0, *, tb=DEF_TB, tw=DEF_TW,
     b, w = rows.shape
     k = u_planes.shape[-1]
     nb, nw = _tiles(b, w, tb, tw)
-    kern = functools.partial(_lambda_kernel, dtype=dtype)
+    kern = functools.partial(_lambda_kernel, dtype=dtype,
+                             approx_div=approx_div)
     l0, l1 = pl.pallas_call(
         kern,
         grid=(nb, nw),
@@ -302,7 +316,7 @@ def batch_stats_fused_packed(rows, u, t1, t0, *, tb, tw,
 
 def local_solve_packed(rows, u, lamb_b, *, beta_a, beta_b, local_iters,
                        local_tol, tb, tw, dtype=jnp.bfloat16,
-                       interpret=False, stat_scale=1.0):
+                       interpret=False, stat_scale=1.0, approx_div=False):
     """Pallas-backed local coordinate ascent; mirrors
     stats_dense.local_solve but consumes packed rows directly.
 
@@ -325,7 +339,7 @@ def local_solve_packed(rows, u, lamb_b, *, beta_a, beta_b, local_iters,
         t1, t0 = jnp.exp(e1), jnp.exp(e0)
         l0, l1 = lambda_stats_packed(
             rows, u_planes, t1, t0, tb=tb, tw=tw, dtype=dtype,
-            interpret=interpret)
+            interpret=interpret, approx_div=approx_div)
         new = jnp.stack([beta_a + stat_scale * t1 * l0,
                          beta_b + stat_scale * t0 * l1], axis=-1)
         delta = jnp.mean(jnp.abs(new - lam)) / (jnp.mean(jnp.abs(lam)) + 1.0)

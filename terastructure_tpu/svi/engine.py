@@ -86,6 +86,31 @@ def _group_size(cfg: SVIConfig, l_sample: int) -> int:
     return g
 
 
+def _sample_rows(cfg: SVIConfig, packed, key, l_sample, *, interpret):
+    """Sample the SNP minibatch and gather its packed genotype rows.
+
+    DMA block-gather path (SVIConfig.dma_gather): at biobank L the
+    minibatch is drawn as batch_size/8 uniform 8-row-aligned blocks of
+    consecutive SNPs and fetched by ops/gather.gather_row_blocks —
+    concurrent HBM->HBM DMAs at copy bandwidth instead of XLA's
+    ~1 us/row gather. Block draws keep the gamma estimate unbiased
+    (every SNP equally likely, scale L/B unchanged — same argument as
+    SVIConfig.snp_group). Otherwise: independent per-row draws + XLA
+    fancy-index gather. Returns (idx (B,), rows (B, W))."""
+    b = cfg.batch_size
+    if (cfg.dma_gather and not interpret and l_sample > 65536
+            and l_sample % 8 == 0 and b % 128 == 0):
+        from terastructure_tpu.ops.gather import gather_row_blocks
+
+        blocks = jax.random.randint(
+            key, (b // 8,), 0, l_sample // 8, dtype=jnp.int32)
+        idx = (blocks[:, None] * 8
+               + jnp.arange(8, dtype=jnp.int32)).reshape(b)
+        return idx, gather_row_blocks(packed, blocks, block=8)
+    idx = _sample_batch(key, l_sample, b)
+    return idx, packed[idx]
+
+
 def _gather_batch(cfg: SVIConfig, packed, lamb, key, l_sample):
     """Sample the minibatch and gather its genotype rows + lambda rows.
 
@@ -178,7 +203,7 @@ def step_core_packed(cfg: SVIConfig, gamma, rows, lamb_b, *,
             beta_a=cfg.beta_a, beta_b=cfg.beta_b,
             local_iters=cfg.local_iters, local_tol=cfg.local_tol,
             tb=tb, tw=tw_sub, dtype=dtype, interpret=interpret,
-            stat_scale=wp / sub_w,
+            stat_scale=wp / sub_w, approx_div=cfg.local_sub_approx_div,
         )
         if cfg.local_refine_full:
             # Optional exact full-N refinement iteration between the
@@ -307,8 +332,8 @@ def make_step(cfg: SVIConfig, l_sample: int | None = None):
                     beta_a=cfg.beta_a, beta_b=cfg.beta_b, dtype=dtype,
                     warm_start=not local_mode, interpret=interpret)
             else:
-                idx = _sample_batch(kb, l_s, b)
-                rows = packed[idx]
+                idx, rows = _sample_rows(cfg, packed, kb, l_s,
+                                         interpret=interpret)
                 lamb_init = (jnp.zeros((b, cfg.k, 2), jnp.float32)
                              if local_mode else lamb[idx])
                 new_lamb_b, g = fused_step.fused_local_solve(
@@ -325,8 +350,8 @@ def make_step(cfg: SVIConfig, l_sample: int | None = None):
                 # grouped gather is 10x SLOWER on v5e (42 vs 4 ms at
                 # W=25088 B=4096, benchmarks/profile_bign.py) — grouping
                 # only pays in the fused path's in-kernel DMA gather.
-                idx = _sample_batch(kb, l_s, b)
-                rows = packed[idx]
+                idx, rows = _sample_rows(cfg, packed, kb, l_s,
+                                         interpret=interpret)
                 lamb_b = jnp.stack(
                     [jnp.full((b, cfg.k), cfg.beta_a, jnp.float32),
                      jnp.full((b, cfg.k), cfg.beta_b, jnp.float32)],

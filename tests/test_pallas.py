@@ -68,6 +68,33 @@ def test_batch_stats_match_dense():
                                rtol=2e-5, atol=1e-5)
 
 
+def test_gather_row_blocks_matches_fancy_index():
+    from terastructure_tpu.ops.gather import gather_row_blocks
+
+    rng = np.random.default_rng(9)
+    src = jnp.asarray(rng.integers(0, 256, size=(64, 256), dtype=np.uint8))
+    blocks = jnp.asarray(rng.integers(0, 8, size=32), jnp.int32)
+    out = gather_row_blocks(src, blocks, block=8, blocks_in_flight=16,
+                            interpret=True)
+    idx = (np.asarray(blocks)[:, None] * 8 + np.arange(8)).reshape(-1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(src)[idx])
+
+
+def test_lambda_stats_approx_div_close():
+    x, rows, gamma, lamb_b = _problem(b=16, n=1024, k=3, seed=8)
+    u = ops.exp_elog_theta(gamma)
+    t1, t0 = ops.exp_elog_beta(lamb_b)
+    tb, tw = pk.pick_tiles(*rows.shape)
+    kw = dict(tb=tb, tw=tw, dtype=jnp.float32, interpret=True)
+    l0e, l1e = pk.lambda_stats_packed(rows, pk.u_to_planes(u), t1, t0, **kw)
+    l0a, l1a = pk.lambda_stats_packed(rows, pk.u_to_planes(u), t1, t0,
+                                      approx_div=True, **kw)
+    np.testing.assert_allclose(np.asarray(l0a), np.asarray(l0e),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(l1a), np.asarray(l1e),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_batch_stats_fused_match_pair():
     """One-kernel fused stats == the two-kernel pair (multi-tile grid:
     b=24 -> 3 batch tiles, n=4096 -> 2 w-tiles, exercising both the
