@@ -104,6 +104,13 @@ def main():
     cfg = SVIConfig(n=n, l=l, k=k, batch_size=batch, seed=0,
                     compute_dtype=dtype)
 
+    cache = f"/tmp/terabench_{n}x{l}k{k}_s0.npy"
+    if os.path.exists(cache):
+        t0 = time.time()
+        packed = np.load(cache)
+        log(f"loaded cached sim {cache} in {time.time()-t0:.1f}s")
+        return _run(cfg, packed, n, steps)
+
     log(f"simulating {n}x{l} K={k} genotypes ...")
     t0 = time.time()
     # Simulate in SNP chunks to bound host memory (x is n*l bytes).
@@ -129,7 +136,16 @@ def main():
     if wpad:
         packed = np.pad(packed, ((0, 0), (0, wpad)), constant_values=0xFF)
     log(f"simulated in {time.time()-t0:.1f}s")
+    try:
+        np.save(cache, packed)
+        log(f"cached sim at {cache}")
+    except OSError as e:
+        log(f"sim cache write skipped: {e}")
+    return _run(cfg, packed, n, steps)
 
+
+def _run(cfg, packed, n, steps):
+    l, k = cfg.l, cfg.k
     # ---- TPU path -------------------------------------------------------
     import jax
     import jax.numpy as jnp

@@ -29,6 +29,9 @@ def main():
                          "device-sharded when chips allow")
     ap.add_argument("--n-samples", type=int, default=500)
     ap.add_argument("--n-warmup", type=int, default=400)
+    ap.add_argument("--cold-start", action="store_true",
+                    help="disable the SVI warm-start/preconditioner "
+                         "(honesty A/B of the validator)")
     args = ap.parse_args()
 
     from terastructure_tpu.data.simulate import simulate_psd
@@ -46,9 +49,11 @@ def main():
         kw = dict(n_particles=512, n_mutations=2, n_leapfrog=8,
                   mutation_eps=0.05)
     rep = compare_svi_mcmc(x, k=args.k, sampler=args.sampler,
-                           seed=args.seed, **kw)
+                           seed=args.seed, warm_start=not args.cold_start,
+                           **kw)
     out = dict(
         config=f"{n}x{l} K={args.k}", sampler=args.sampler,
+        warm_start=not args.cold_start,
         theta_mae=round(rep.theta_mae, 5), beta_mae=round(rep.beta_mae, 5),
         svi_steps=rep.svi_steps, wall_s=round(time.time() - t0, 1),
     )

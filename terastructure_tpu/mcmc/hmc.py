@@ -98,6 +98,9 @@ def hmc_kernel(log_prob: Callable, n_leapfrog: int):
 
     def kernel(key, params, log_p, eps, inv_mass):
         k_mom, k_acc, key = jax.random.split(key, 3)
+        # Keep trajectory arithmetic in the parameter dtype even when
+        # dual averaging (and the energy sums) run in f64 under x64.
+        eps = jnp.asarray(eps, jax.tree.leaves(params)[0].dtype)
         # momentum ~ N(0, mass): sample with std = 1/sqrt(inv_mass)
         noise = tree_randn_like(k_mom, params)
         momentum = jax.tree.map(
@@ -128,10 +131,12 @@ class WelfordState(NamedTuple):
 
 
 def welford_init(params):
+    # f32 count: under x64 a default-f64 scalar would promote the whole
+    # mass-matrix accumulator (and the warmup scan carry) to f64.
     return WelfordState(
         mean=jax.tree.map(jnp.zeros_like, params),
         m2=jax.tree.map(jnp.zeros_like, params),
-        count=jnp.zeros(()),
+        count=jnp.zeros((), jnp.float32),
     )
 
 
@@ -144,15 +149,22 @@ def welford_update(state: WelfordState, params):
     return WelfordState(mean=mean, m2=m2, count=count)
 
 
-def welford_variance(state: WelfordState, regularize=True):
-    def var(m2):
-        v = m2 / jnp.maximum(state.count - 1.0, 1.0)
-        if regularize:  # shrink toward 1 like Stan
-            w = state.count / (state.count + 5.0)
-            v = w * v + (1.0 - w) * 1e-3
-        return jnp.maximum(v, 1e-6)
+def welford_variance(state: WelfordState, regularize=True, prior=None):
+    """Sample variance, shrunk toward `prior` (Stan-style; Stan's fixed
+    target is 1e-3, the default). Passing the q-variance preconditioner
+    as `prior` keeps a good externally-supplied mass from being dragged
+    toward an arbitrary constant by a short adaptation window."""
 
-    return jax.tree.map(var, state.m2)
+    def var(m2, pv):
+        v = m2 / jnp.maximum(state.count - 1.0, 1.0)
+        if regularize:
+            w = state.count / (state.count + 5.0)
+            v = w * v + (1.0 - w) * pv
+        return jnp.maximum(v, 1e-8)
+
+    if prior is None:
+        prior = jax.tree.map(lambda m2: 1e-3, state.m2)
+    return jax.tree.map(var, state.m2, prior)
 
 
 def run_hmc(
@@ -168,6 +180,7 @@ def run_hmc(
     n_chains: int = 1,
     thin: int = 1,
     shard_chains: bool = True,
+    inv_mass0=None,
 ):
     """Run `n_chains` HMC chains (vmapped). Returns (samples, diagnostics).
 
@@ -176,6 +189,9 @@ def run_hmc(
     shard_chains: place the chain axis on a device mesh when several
     devices are available (mcmc/chains.py) — XLA runs chains fully in
     parallel, one per device, no communication.
+    inv_mass0: optional diagonal preconditioner pytree (no chain axis,
+    e.g. potential.svi_informed_inits' q-variances) used through warmup
+    phases 1-2 and as the Welford shrinkage target in phase 3.
     """
     kernel = hmc_kernel(log_prob, n_leapfrog)
 
@@ -183,7 +199,10 @@ def run_hmc(
         log_p0 = log_prob(params0)
         da0 = da_init(jnp.asarray(init_eps))
         wf0 = welford_init(params0)
-        inv_mass0 = jax.tree.map(jnp.ones_like, params0)
+        if inv_mass0 is None:
+            im0 = jax.tree.map(jnp.ones_like, params0)
+        else:
+            im0 = jax.tree.map(jnp.asarray, inv_mass0)
 
         def warm_body(carry, _):
             params, log_p, key, da, wf, inv_mass = carry
@@ -203,13 +222,14 @@ def run_hmc(
         n1 = max(int(0.3 * n_warmup), 1)
         n3 = max(int(0.3 * n_warmup), 1)
         n2 = max(n_warmup - n1 - n3, 1)
-        carry = (params0, log_p0, key, da0, wf0, inv_mass0)
+        carry = (params0, log_p0, key, da0, wf0, im0)
         carry, _ = jax.lax.scan(warm_body, carry, None, length=n1)
         params, log_p, key, da, wf, _ = carry
-        carry = (params, log_p, key, da, welford_init(params), inv_mass0)
+        carry = (params, log_p, key, da, welford_init(params), im0)
         carry, _ = jax.lax.scan(warm_body, carry, None, length=n2)
         params, log_p, key, da, wf, _ = carry
-        inv_mass = welford_variance(wf)
+        inv_mass = welford_variance(
+            wf, prior=None if inv_mass0 is None else im0)
         carry = (params, log_p, key, da_init(jnp.exp(da.log_eps)),
                  welford_init(params), inv_mass)
         carry, _ = jax.lax.scan(warm_body, carry, None, length=n3)

@@ -104,6 +104,9 @@ def nuts_kernel(log_prob: Callable, max_depth: int = 8,
     def kernel(key, params, eps, inv_mass_tree):
         q0, unravel = ravel_pytree(params)
         inv_mass, _ = ravel_pytree(inv_mass_tree)
+        # Dual-averaging runs in f64 under x64; cast eps back so the
+        # trajectory arithmetic stays in the parameter dtype.
+        eps = jnp.asarray(eps, q0.dtype)
         dim = q0.shape[0]
 
         def log_prob_flat(q):
@@ -113,7 +116,9 @@ def nuts_kernel(log_prob: Callable, max_depth: int = 8,
         lp0, g0 = jax.value_and_grad(log_prob_flat)(q0)
 
         k_mom, k_traj = jax.random.split(key)
-        p0 = jax.random.normal(k_mom, (dim,)) / jnp.sqrt(inv_mass)
+        # q0.dtype keeps momentum/dynamics f32 under x64 (energy sums
+        # alone widen to f64 — see potential._acc_dtype).
+        p0 = jax.random.normal(k_mom, (dim,), q0.dtype) / jnp.sqrt(inv_mass)
         init = _TreeState(q=q0, p=p0, grad=g0, log_prob=lp0)
         h0 = _energy(init, inv_mass)
 
@@ -125,18 +130,21 @@ def nuts_kernel(log_prob: Callable, max_depth: int = 8,
             eps_d = direction * eps
 
             ckpt_shape = (max_depth + 1, dim)
+            # Momentum buffers in the trajectory dtype (f32); log-weight
+            # and acceptance accumulators in the ENERGY dtype (f64 under
+            # x64) — jnp.zeros defaults would silently widen everything.
             carry = dict(
                 key=key,
                 state=from_state,
                 proposal=from_state,
-                log_w=-jnp.inf,
-                p_sum=jnp.zeros((dim,)),
-                p_ckpts=jnp.zeros(ckpt_shape),
-                psum_ckpts=jnp.zeros(ckpt_shape),
+                log_w=jnp.asarray(-jnp.inf, h0.dtype),
+                p_sum=jnp.zeros((dim,), q0.dtype),
+                p_ckpts=jnp.zeros(ckpt_shape, q0.dtype),
+                psum_ckpts=jnp.zeros(ckpt_shape, q0.dtype),
                 leaf=jnp.int32(0),
                 turning=False,
                 diverging=False,
-                sum_acc=jnp.zeros(()),
+                sum_acc=jnp.zeros((), h0.dtype),
             )
 
             def cond(c):
@@ -196,12 +204,12 @@ def nuts_kernel(log_prob: Callable, max_depth: int = 8,
             key=k_traj,
             left=init, right=init,
             proposal=init,
-            log_w=jnp.zeros(()),        # weight of initial state: exp(0)
+            log_w=jnp.zeros((), h0.dtype),  # weight of initial state: exp(0)
             p_sum=p0,
             depth=jnp.int32(0),
             turning=False,
             diverging=False,
-            sum_acc=jnp.zeros(()),
+            sum_acc=jnp.zeros((), h0.dtype),
             num_steps=jnp.zeros((), jnp.int32),
         )
 
@@ -285,18 +293,25 @@ def run_nuts(
     target_accept: float = 0.8,
     n_chains: int = 1,
     shard_chains: bool = True,
+    inv_mass0=None,
 ):
     """Run NUTS chains (vmapped leading axis when n_chains > 1).
 
     Returns (samples pytree with leading (chains, samples), diagnostics).
     shard_chains: place the chain axis on a device mesh when several
     devices are available (mcmc/chains.py).
+    inv_mass0: optional diagonal preconditioner pytree (no chain axis,
+    e.g. potential.svi_informed_inits' q-variances) used through warmup
+    phases 1-2 and as the Welford shrinkage target in phase 3.
     """
     kernel = nuts_kernel(log_prob, max_depth=max_depth)
 
     def single_chain(key, params0):
         da0 = da_init(jnp.asarray(init_eps))
-        inv_mass0 = jax.tree.map(jnp.ones_like, params0)
+        if inv_mass0 is None:
+            im0 = jax.tree.map(jnp.ones_like, params0)
+        else:
+            im0 = jax.tree.map(jnp.asarray, inv_mass0)
 
         def warm_body(carry, _):
             params, key, da, wf, inv_mass = carry
@@ -313,13 +328,14 @@ def run_nuts(
         n1 = max(int(0.3 * n_warmup), 1)
         n3 = max(int(0.3 * n_warmup), 1)
         n2 = max(n_warmup - n1 - n3, 1)
-        carry = (params0, key, da0, welford_init(params0), inv_mass0)
+        carry = (params0, key, da0, welford_init(params0), im0)
         carry, _ = jax.lax.scan(warm_body, carry, None, length=n1)
         params, key, da, wf, _ = carry
-        carry = (params, key, da, welford_init(params), inv_mass0)
+        carry = (params, key, da, welford_init(params), im0)
         carry, _ = jax.lax.scan(warm_body, carry, None, length=n2)
         params, key, da, wf, _ = carry
-        inv_mass = welford_variance(wf)
+        inv_mass = welford_variance(
+            wf, prior=None if inv_mass0 is None else im0)
         carry = (params, key, da_init(jnp.exp(da.log_eps)),
                  welford_init(params), inv_mass)
         carry, _ = jax.lax.scan(warm_body, carry, None, length=n3)

@@ -36,32 +36,116 @@ class ValidationReport:
 
 
 def mcmc_moments(x, k, *, alpha, sampler="nuts", seed=0, n_samples=600,
-                 n_warmup=400, **kw):
-    """Posterior means of theta/beta under the chosen sampler."""
-    pot = PSDPotential(x=jnp.asarray(x), alpha=alpha)
+                 n_warmup=400, svi_state=None, scale_sigma=0.05,
+                 overdisperse=2.0, **kw):
+    """Posterior means of theta/beta under the chosen sampler.
+
+    Runs with jax x64 enabled so the potential's energy sums accumulate
+    in float64 (see potential._acc_dtype): at validator shapes the f32
+    Hamiltonian rounding noise otherwise swamps the acceptance signal
+    and dual averaging collapses eps to ~1e-5, silently freezing the
+    chains at their inits. Dynamics/gradients stay f32 (init_params and
+    the samplers pin their dtypes), so the cost is one widened
+    reduction per energy evaluation.
+
+    scale_sigma pins the per-individual unidentified scale direction
+    (PSDPotential.scale_sigma — posterior-invariant, fixes the >1000x
+    row-block condition number a diagonal mass cannot); None reverts to
+    the legacy iid-Gamma prior. svi_state: a fitted SVIState whose
+    (gamma, lamb) warm-start the chains and precondition the mass
+    (potential.svi_informed_inits) — efficiency only, inits stay
+    overdispersed by `overdisperse` so R-hat keeps its power."""
+    prev_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        return _mcmc_moments(x, k, alpha=alpha, sampler=sampler, seed=seed,
+                             n_samples=n_samples, n_warmup=n_warmup,
+                             svi_state=svi_state, scale_sigma=scale_sigma,
+                             overdisperse=overdisperse, **kw)
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
+
+
+def align_ensemble(theta_s, beta_s):
+    """Align every member's K component labels to member 0 (Hungarian on
+    theta's columns); the permutation is shared with beta. Input leading
+    axis is the ensemble (particles, or chains' pooled draws). Returns
+    (theta_s, beta_s, n_realigned) with arrays modified in place."""
+    k = theta_s.shape[-1]
+    flipped = 0
+    for i in range(1, theta_s.shape[0]):
+        _, perm = align_columns(theta_s[i], theta_s[0])
+        if not np.array_equal(perm, np.arange(k)):
+            flipped += 1
+            theta_s[i] = theta_s[i][..., perm]
+            beta_s[i] = beta_s[i][..., perm]
+    return theta_s, beta_s, flipped
+
+
+def _mcmc_moments(x, k, *, alpha, sampler, seed, n_samples, n_warmup,
+                  svi_state=None, scale_sigma=0.05, overdisperse=2.0, **kw):
+    pot = PSDPotential(x=jnp.asarray(x), alpha=alpha,
+                       scale_sigma=scale_sigma)
     key = jax.random.PRNGKey(seed)
     if sampler == "smc":
         n_particles = kw.pop("n_particles", 512)
         k1, k2, k3 = jax.random.split(key, 3)
+        # Particles start as exact draws from the potential's PRIOR
+        # (tempering requirement). Explicit f32: under x64 only energy
+        # sums widen.
+        if scale_sigma is not None:
+            gt = jax.random.gamma(k1, alpha, (n_particles, pot.n, k),
+                                  jnp.float32)
+            zt = jnp.log(gt) - jax.scipy.special.logsumexp(
+                jnp.log(gt), axis=-1, keepdims=True)
+            zt = zt + scale_sigma * jax.random.normal(
+                jax.random.fold_in(k1, 1), (n_particles, pot.n, 1),
+                jnp.float32)
+        else:
+            zt = jnp.log(jax.random.gamma(
+                k1, alpha, (n_particles, pot.n, k), jnp.float32))
         particles0 = {
-            "z_theta": jnp.log(jax.random.gamma(
-                k1, alpha, (n_particles, pot.n, k))),
+            "z_theta": zt,
             "z_beta": jax.scipy.special.logit(jax.random.uniform(
-                k2, (n_particles, pot.l, k), minval=1e-4, maxval=1 - 1e-4)),
+                k2, (n_particles, pot.l, k), jnp.float32,
+                minval=1e-4, maxval=1 - 1e-4)),
         }
         particles, diag = run_smc(
             k3, pot.log_prior, pot.log_lik, particles0,
             n_particles=n_particles, **kw)
-        samples = particles
+        # The PSD posterior is K!-symmetric and tempered SMC mixes
+        # BETWEEN the label modes (better mutation -> more hopping), so
+        # the raw ensemble mean collapses toward the symmetric average
+        # (theta -> 1/K, MAE ~0.3 at K=2). Align every particle's
+        # component labels to particle 0 before taking moments — the
+        # particle analogue of the per-chain alignment below.
+        g = np.exp(np.asarray(particles["z_theta"], np.float64))
+        theta_s = g / g.sum(-1, keepdims=True)           # (P, N, K)
+        beta_s = np.asarray(jax.nn.sigmoid(particles["z_beta"]), np.float64)
+        theta_s, beta_s, flipped = align_ensemble(theta_s, beta_s)
+        diag = dict(diag)
+        diag["particles_label_aligned"] = flipped
+        return (theta_s.mean(axis=0), beta_s.mean(axis=0), diag)
     else:
         n_chains = kw.pop("n_chains", 1)
         k1, k2 = jax.random.split(key)
-        params0 = init_params(pot, k1, k=k,
-                              n_chains=n_chains if n_chains > 1 else 0)
+        inv_mass0 = None
+        if svi_state is not None:
+            from terastructure_tpu.mcmc.potential import svi_informed_inits
+
+            params0, inv_mass0 = svi_informed_inits(
+                np.asarray(svi_state.gamma)[:pot.n],
+                np.asarray(svi_state.lamb)[:pot.l], k1,
+                n_chains=n_chains if n_chains > 1 else 0,
+                overdisperse=overdisperse, scale_sigma=scale_sigma,
+                k_alpha=k * alpha)
+        else:
+            params0 = init_params(pot, k1, k=k,
+                                  n_chains=n_chains if n_chains > 1 else 0)
         runner = run_nuts if sampler == "nuts" else run_hmc
         samples, diag = runner(
             k2, pot, params0, n_samples=n_samples, n_warmup=n_warmup,
-            n_chains=n_chains, **kw)
+            n_chains=n_chains, inv_mass0=inv_mass0, **kw)
         if n_chains > 1:
             from terastructure_tpu.mcmc.diagnostics import summarize
 
@@ -120,9 +204,15 @@ def compare_svi_mcmc(
     sampler: str = "nuts",
     svi_config: Optional[SVIConfig] = None,
     seed: int = 0,
+    warm_start: bool = True,
     **sampler_kw,
 ) -> ValidationReport:
-    """Fit SVI and run MCMC on the same dense genotype matrix x (N, L)."""
+    """Fit SVI and run MCMC on the same dense genotype matrix x (N, L).
+
+    warm_start: initialize NUTS/HMC chains from the overdispersed
+    fitted variational posterior with its z-variance as the mass
+    preconditioner (mcmc_moments svi_state). False forces the cold
+    init — kept for honesty A/Bs of the validator itself."""
     n, l = x.shape
     cfg = svi_config or SVIConfig(
         n=n, l=l, k=k, batch_size=min(64, l), max_steps=4000,
@@ -136,6 +226,7 @@ def compare_svi_mcmc(
 
     theta_mcmc, beta_mcmc, diag = mcmc_moments(
         x, k, alpha=cfg.alpha_value, sampler=sampler, seed=seed,
+        svi_state=res.state if warm_start else None,
         **sampler_kw)
 
     aligned_theta, perm = align_columns(theta_svi, theta_mcmc)

@@ -114,3 +114,148 @@ def test_gaussian_target(sampler):
     emp_cov = np.cov(z.T)
     np.testing.assert_allclose(z.mean(0), [0, 0], atol=0.12)
     np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.15)
+
+
+def test_energy_sums_widen_under_x64_dynamics_stay_f32():
+    """Regression for the frozen-chain bug: at validator shapes the f32
+    Hamiltonian tree-sum noise (~tens of ulps of |logp| ~ 1e6) swamps
+    the acceptance signal and dual averaging collapses eps to ~1e-5.
+    Under x64 the potential must accumulate energies in f64 — matching
+    a numpy f64 reference far tighter than f32 ulp noise — while
+    init_params and the NUTS trajectory stay f32."""
+    import scipy.special as sps
+
+    from terastructure_tpu.data.simulate import simulate_psd
+    from terastructure_tpu.mcmc.potential import PSDPotential, init_params
+
+    _, _, x = simulate_psd(400, 1200, 3, seed=3)
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        pot = PSDPotential(x=jnp.asarray(x), alpha=1 / 3)
+        params = init_params(pot, jax.random.PRNGKey(0), k=3)
+        assert params["z_theta"].dtype == jnp.float32
+        ll = pot.log_lik(params)
+        assert ll.dtype == jnp.float64
+
+        # numpy float64 oracle of the same quantity (f32 forward ops,
+        # f64 accumulation) — must agree to ~1e-2 nats out of ~1e6,
+        # far below the ~0.1-1 nat f32 tree-sum noise the bug rode on.
+        zt = np.asarray(params["z_theta"], np.float32)
+        zb = np.asarray(params["z_beta"], np.float32)
+        g = np.exp(zt)
+        theta = g / g.sum(-1, keepdims=True)
+        beta = sps.expit(zb)
+        p = (theta @ beta.T).astype(np.float64)
+        xi = x.astype(np.float64)
+        ref = float(np.sum(
+            xi * np.log(p + 1e-12) + (2 - xi) * np.log(1 - p + 1e-12)
+            + np.log([1.0, 2.0, 1.0])[x]
+        ))
+        assert abs(float(ll) - ref) < 0.1, (float(ll), ref)
+
+        # One NUTS transition keeps the trajectory f32.
+        from terastructure_tpu.mcmc.nuts import nuts_kernel
+
+        kern = nuts_kernel(pot, max_depth=3)
+        inv_mass = jax.tree.map(jnp.ones_like, params)
+        new, info = kern(jax.random.PRNGKey(1), params, 0.01, inv_mass)
+        assert new["z_theta"].dtype == jnp.float32
+        assert np.isfinite(float(info["accept_prob"]))
+    finally:
+        jax.config.update("jax_enable_x64", prev)
+
+
+def test_scale_pinned_prior_is_posterior_invariant():
+    """PSDPotential.scale_sigma must change ONLY the unidentified
+    per-row scale direction: (a) the likelihood ignores scale shifts,
+    (b) for moves that preserve every row scale w_i, the pinned and
+    legacy prior DIFFERENCES are identical (so the theta posterior is
+    untouched), and (c) a pure scale shift changes the pinned prior by
+    exactly the N(0, sigma^2) log-density difference in w."""
+    from terastructure_tpu.data.simulate import simulate_psd
+    from terastructure_tpu.mcmc.potential import PSDPotential, init_params
+
+    _, _, x = simulate_psd(20, 40, 3, seed=5)
+    sig = 0.05
+    legacy = PSDPotential(x=jnp.asarray(x), alpha=0.5)
+    pinned = PSDPotential(x=jnp.asarray(x), alpha=0.5, scale_sigma=sig)
+    p1 = init_params(legacy, jax.random.PRNGKey(0), k=3)
+    p2 = init_params(legacy, jax.random.PRNGKey(1), k=3)
+
+    def with_scales(p, ref):
+        """Rescale p's z_theta rows to ref's row scales."""
+        import jax.scipy.special as jss
+        w_p = jss.logsumexp(p["z_theta"], axis=-1, keepdims=True)
+        w_r = jss.logsumexp(ref["z_theta"], axis=-1, keepdims=True)
+        return {"z_theta": p["z_theta"] - w_p + w_r, "z_beta": p["z_beta"]}
+
+    # (a) likelihood is scale-invariant
+    shift = {"z_theta": p1["z_theta"] + 0.7, "z_beta": p1["z_beta"]}
+    np.testing.assert_allclose(float(pinned.log_lik(shift)),
+                               float(pinned.log_lik(p1)), rtol=1e-5)
+    # (b) same-scale prior differences agree between parameterizations
+    p2s = with_scales(p2, p1)
+    d_legacy = float(legacy.log_prior(p2s)) - float(legacy.log_prior(p1))
+    d_pinned = float(pinned.log_prior(p2s)) - float(pinned.log_prior(p1))
+    np.testing.assert_allclose(d_pinned, d_legacy, rtol=1e-4, atol=1e-3)
+    # (c) scale shifts see exactly the Gaussian pin
+    import jax.scipy.special as jss
+    w = np.asarray(jss.logsumexp(p1["z_theta"], axis=-1), np.float64)
+    c = 0.3
+    d = float(pinned.log_prior(shift_c := {
+        "z_theta": p1["z_theta"] + c, "z_beta": p1["z_beta"]})) - float(
+            pinned.log_prior(p1))
+    expect = float((-((w + c) ** 2 - w**2) / (2 * sig**2)).sum())
+    np.testing.assert_allclose(d, expect, rtol=1e-3)
+
+
+def test_q_z_moments_match_monte_carlo():
+    """Closed-form z-space q moments (Dirichlet log-ratio + logit-Beta
+    trigamma identities) against brute-force sampling."""
+    from terastructure_tpu.mcmc.potential import q_z_moments
+
+    rng = np.random.default_rng(0)
+    gamma = rng.uniform(0.5, 50.0, size=(4, 3))
+    lamb = rng.uniform(0.8, 60.0, size=(5, 3, 2))
+    mean, var = q_z_moments(gamma, lamb, scale_sigma=0.05)
+
+    S = 200_000
+    g = rng.gamma(gamma, size=(S,) + gamma.shape)
+    log_theta = np.log(g) - np.log(g.sum(-1, keepdims=True))
+    # scale pinned at sigma=0.05: mean 0, var 2.5e-3 added to every coord
+    np.testing.assert_allclose(np.asarray(mean["z_theta"]),
+                               log_theta.mean(0), atol=0.02)
+    np.testing.assert_allclose(np.asarray(var["z_theta"]),
+                               log_theta.var(0) + 0.05**2, rtol=0.05,
+                               atol=1e-4)
+    a = rng.gamma(lamb[..., 0], size=(S,) + lamb.shape[:-1])
+    b = rng.gamma(lamb[..., 1], size=(S,) + lamb.shape[:-1])
+    zb = np.log(a) - np.log(b)
+    np.testing.assert_allclose(np.asarray(mean["z_beta"]), zb.mean(0),
+                               atol=0.02)
+    np.testing.assert_allclose(np.asarray(var["z_beta"]), zb.var(0),
+                               rtol=0.05)
+
+
+def test_svi_informed_inits_shapes_and_overdispersion():
+    from terastructure_tpu.mcmc.potential import (q_z_moments,
+                                                  svi_informed_inits)
+
+    rng = np.random.default_rng(1)
+    gamma = rng.uniform(5.0, 80.0, size=(6, 2))
+    lamb = rng.uniform(5.0, 80.0, size=(8, 2, 2))
+    key = jax.random.PRNGKey(0)
+    params0, inv_mass = svi_informed_inits(
+        gamma, lamb, key, n_chains=64, overdisperse=2.0, scale_sigma=0.05)
+    assert params0["z_theta"].shape == (64, 6, 2)
+    assert params0["z_beta"].shape == (64, 8, 2)
+    assert inv_mass["z_theta"].shape == (6, 2)
+    assert all(float(jnp.min(v)) > 0 for v in inv_mass.values())
+    # across-chain spread matches overdisperse^2 * q-variance
+    _, var = q_z_moments(gamma, lamb, scale_sigma=0.05)
+    emp = np.asarray(params0["z_beta"]).var(axis=0)
+    np.testing.assert_allclose(emp, 4.0 * np.asarray(var["z_beta"]),
+                               rtol=0.8)
+    # chains differ (no accidental broadcasting of one draw)
+    assert np.std(np.asarray(params0["z_theta"])[:, 0, 0]) > 0

@@ -42,3 +42,30 @@ def test_multichain_validator_reports_convergence():
     conv = diag["convergence"]
     assert all(v["min_ess"] > 5 for v in conv.values())
     assert theta_m.shape == (30, 2)
+
+
+def test_particle_ensemble_alignment_recovers_mode():
+    """Regression: a particle ensemble split across the K! label modes
+    must NOT average to the symmetric collapse (theta -> 1/K). Found
+    live: SMC with better mutation mixed between modes and the raw
+    ensemble mean gave theta MAE 0.33 vs truth at K=2; aligned, 0.038."""
+    from terastructure_tpu.mcmc.validate import align_ensemble
+
+    rng = np.random.default_rng(0)
+    n, l, k, p = 30, 50, 2, 64
+    base_t = rng.dirichlet(np.ones(k) * 0.5, size=n)      # (n, k)
+    base_b = rng.uniform(0.05, 0.95, size=(l, k))
+    theta_s = np.repeat(base_t[None], p, axis=0) + rng.normal(0, 0.01, (p, n, k))
+    beta_s = np.repeat(base_b[None], p, axis=0) + rng.normal(0, 0.01, (p, l, k))
+    flip = rng.random(p) < 0.5
+    flip[0] = False
+    theta_s[flip] = theta_s[flip][..., ::-1]
+    beta_s[flip] = beta_s[flip][..., ::-1]
+
+    raw_err = np.abs(theta_s.mean(0) - base_t).mean()
+    assert raw_err > 0.1                     # symmetric collapse visible
+
+    theta_a, beta_a, nfl = align_ensemble(theta_s.copy(), beta_s.copy())
+    assert nfl == int(flip.sum())
+    assert np.abs(theta_a.mean(0) - base_t).mean() < 0.02
+    assert np.abs(beta_a.mean(0) - base_b).mean() < 0.02
