@@ -123,7 +123,15 @@ class PSDPotential:
 
     def log_lik(self, params):
         theta, beta = self.constrain(params)
-        p = theta @ beta.T                       # (N, L)
+        # precision=HIGHEST: the TPU MXU's default-precision matmul
+        # runs bf16 passes, and that noise enters every gradient and
+        # Hamiltonian — measured on v5e at 500x1000 K=3: dual averaging
+        # collapses eps to ~6e-5 and all 1500 theta coordinates freeze
+        # (R-hat > 1.2 on every one), while the identical program on
+        # CPU (true f32 matmul) mixes at eps ~0.04 with max R-hat 1.009.
+        # The validator's matmuls are small; 3-pass f32 cost is noise.
+        p = jnp.matmul(theta, beta.T,
+                       precision=jax.lax.Precision.HIGHEST)  # (N, L)
         mask = self.mask
         ll = binomial2_loglik(jnp.where(mask, self.x, 0), p)
         return jnp.sum(jnp.where(mask, ll, 0.0), dtype=_acc_dtype())

@@ -259,3 +259,23 @@ def test_svi_informed_inits_shapes_and_overdispersion():
                                rtol=0.8)
     # chains differ (no accidental broadcasting of one draw)
     assert np.std(np.asarray(params0["z_theta"])[:, 0, 0]) > 0
+
+
+def test_potential_matmul_uses_highest_precision():
+    """On TPU the MXU's default-precision matmul runs bf16 passes; that
+    noise enters every NUTS gradient/Hamiltonian and froze the chains
+    (eps ~6e-5, all-coordinate R-hat > 1.2 at 500x1000 K=3) while the
+    identical program mixed on CPU. Pin precision=HIGHEST in the
+    potential's likelihood matmul via the jaxpr."""
+    from terastructure_tpu.mcmc.potential import PSDPotential, init_params
+
+    x = np.zeros((4, 6), np.int8)
+    pot = PSDPotential(x=jnp.asarray(x), alpha=0.5, scale_sigma=0.05)
+    params = init_params(pot, jax.random.PRNGKey(0), k=2)
+    jaxpr = jax.make_jaxpr(pot.log_lik)(params)
+    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert dots, "log_lik must contain the theta @ beta.T contraction"
+    assert all(
+        e.params["precision"] == (jax.lax.Precision.HIGHEST,) * 2
+        for e in dots
+    ), [e.params["precision"] for e in dots]
