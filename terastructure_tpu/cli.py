@@ -455,12 +455,19 @@ def cmd_validate(args):
         x = x[: args.sub_n or x.shape[0], : args.sub_l or x.shape[1]]
     kw = {}
     if args.sampler in ("nuts", "hmc"):
-        kw = dict(n_samples=args.n_samples, n_warmup=args.n_warmup)
+        kw = dict(n_samples=args.n_samples, n_warmup=args.n_warmup,
+                  n_chains=args.chains)
     rep = compare_svi_mcmc(x, k=args.k, sampler=args.sampler,
-                           seed=args.seed, **kw)
+                           seed=args.seed, warm_start=not args.cold_start,
+                           **kw)
     out = dict(theta_mae=rep.theta_mae, beta_mae=rep.beta_mae,
                svi_steps=rep.svi_steps,
                sampler=args.sampler)
+    conv = rep.sampler_diag.get("convergence")
+    if conv:
+        out["convergence"] = {k_: {m: round(float(v), 4)
+                                   for m, v in d.items()}
+                              for k_, d in conv.items()}
     print(json.dumps(out))
 
 
@@ -570,6 +577,11 @@ def main(argv=None):
     p.add_argument("--sub-l", type=int, default=0, help="subsample SNPs")
     p.add_argument("--n-samples", type=int, default=500)
     p.add_argument("--n-warmup", type=int, default=400)
+    p.add_argument("--chains", type=int, default=4,
+                   help="NUTS/HMC chains (label-aligned R-hat/ESS "
+                        "reported when > 1)")
+    p.add_argument("--cold-start", action="store_true",
+                   help="disable the SVI warm-start/mass preconditioner")
     p.set_defaults(fn=cmd_validate)
 
     args = ap.parse_args(argv)

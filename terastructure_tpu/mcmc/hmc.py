@@ -14,6 +14,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def tree_randn_like(key, tree):
@@ -167,6 +168,64 @@ def welford_variance(state: WelfordState, regularize=True, prior=None):
     return jax.tree.map(var, state.m2, prior)
 
 
+def _bcast_chains(n: int, tree):
+    """Give every leaf a leading chain axis of size n (identity if 0)."""
+    if not n:
+        return tree
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (n,) + jnp.shape(x)),
+        tree)
+
+
+def _wf_init(params, n: int):
+    """welford_init whose count leaf carries the chain axis too (params
+    already has it when n > 0) — every carry leaf must be vmappable."""
+    wf = welford_init(params)
+    if n:
+        wf = wf._replace(count=jnp.zeros((n,), jnp.float32))
+    return wf
+
+
+def _chunk_runner(body, vmapped: bool, chunk: int):
+    """Host-side driver for a lax.scan body: runs `total` transitions
+    as ceil(total/chunk) bounded device programs, carrying state between
+    dispatches and streaming collected outputs to host numpy.
+
+    Monolithic whole-run MCMC programs (warmup+sampling inside one jit)
+    died on the axon v5e tunnel after ~15 min of device time
+    ("TPU worker process crashed", reproducible with exclusive access);
+    bounding per-program runtime fixes that, keeps only O(chunk) sample
+    state in HBM, and costs one dispatch round-trip per chunk. One jit
+    per DISTINCT chunk length (at most two: `chunk` and a remainder).
+    """
+    cache = {}
+
+    def compiled(length):
+        if length not in cache:
+            def run(carry):
+                return jax.lax.scan(body, carry, None, length=length)
+
+            cache[length] = jax.jit(jax.vmap(run) if vmapped else run)
+        return cache[length]
+
+    def drive(carry, total, collect=False):
+        outs = []
+        done = 0
+        while done < total:
+            step = min(chunk, total - done)
+            carry, ys = compiled(step)(carry)
+            if collect:
+                outs.append(jax.tree.map(np.asarray, ys))
+            done += step
+        if not collect:
+            return carry, None
+        axis = 1 if vmapped else 0
+        return carry, jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=axis), *outs)
+
+    return drive
+
+
 def run_hmc(
     key,
     log_prob: Callable,
@@ -181,6 +240,7 @@ def run_hmc(
     thin: int = 1,
     shard_chains: bool = True,
     inv_mass0=None,
+    dispatch_chunk: int = 100,
 ):
     """Run `n_chains` HMC chains (vmapped). Returns (samples, diagnostics).
 
@@ -192,71 +252,87 @@ def run_hmc(
     inv_mass0: optional diagonal preconditioner pytree (no chain axis,
     e.g. potential.svi_informed_inits' q-variances) used through warmup
     phases 1-2 and as the Welford shrinkage target in phase 3.
+
+    Execution is chunked into bounded device programs with samples
+    streamed to host (see _chunk_runner); samples come back as numpy.
     """
-    kernel = hmc_kernel(log_prob, n_leapfrog)
+    import functools
 
-    def single_chain(key, params0):
-        log_p0 = log_prob(params0)
-        da0 = da_init(jnp.asarray(init_eps))
-        wf0 = welford_init(params0)
-        if inv_mass0 is None:
-            im0 = jax.tree.map(jnp.ones_like, params0)
-        else:
-            im0 = jax.tree.map(jnp.asarray, inv_mass0)
-
-        def warm_body(carry, _):
-            params, log_p, key, da, wf, inv_mass = carry
-            params, log_p, acc, key = kernel(
-                key, params, log_p, jnp.exp(da.log_eps), inv_mass
-            )
-            da = da_update(da, acc, target=target_accept)
-            wf = welford_update(wf, params)
-            return (params, log_p, key, da, wf, inv_mass), acc
-
-        # Stan-style windowed warmup:
-        #   phase 1 (30%): adapt eps under unit mass;
-        #   phase 2 (40%): keep adapting eps, accumulate Welford variance;
-        #   phase 3 (30%): freeze mass = variance, RE-adapt eps under it
-        # (re-initializing dual averaging — eps tuned for unit mass is
-        # wrong once the mass changes).
-        n1 = max(int(0.3 * n_warmup), 1)
-        n3 = max(int(0.3 * n_warmup), 1)
-        n2 = max(n_warmup - n1 - n3, 1)
-        carry = (params0, log_p0, key, da0, wf0, im0)
-        carry, _ = jax.lax.scan(warm_body, carry, None, length=n1)
-        params, log_p, key, da, wf, _ = carry
-        carry = (params, log_p, key, da, welford_init(params), im0)
-        carry, _ = jax.lax.scan(warm_body, carry, None, length=n2)
-        params, log_p, key, da, wf, _ = carry
-        inv_mass = welford_variance(
-            wf, prior=None if inv_mass0 is None else im0)
-        carry = (params, log_p, key, da_init(jnp.exp(da.log_eps)),
-                 welford_init(params), inv_mass)
-        carry, _ = jax.lax.scan(warm_body, carry, None, length=n3)
-        params, log_p, key, da, _, _ = carry
-        eps = jnp.exp(da.log_eps_avg)
-
-        def sample_body(carry, _):
-            params, log_p, key = carry
-            accs = jnp.zeros(())
-            for _ in range(thin):
-                params, log_p, acc, key = kernel(
-                    key, params, log_p, eps, inv_mass
-                )
-                accs = accs + acc / thin
-            return (params, log_p, key), (params, accs)
-
-        (_, _, _), (samples, accs) = jax.lax.scan(
-            sample_body, (params, log_p, key), None,
-            length=n_samples // thin,
-        )
-        return samples, {"accept_rate": jnp.mean(accs), "eps": eps}
-
-    if n_chains == 1:
-        return single_chain(key, init_params)
     from terastructure_tpu.mcmc.chains import maybe_shard_leading
 
-    keys = jax.random.split(key, n_chains)
-    keys, init_params = maybe_shard_leading(
-        (keys, init_params), n_chains, shard_chains)
-    return jax.jit(jax.vmap(single_chain))(keys, init_params)
+    kernel = hmc_kernel(log_prob, n_leapfrog)
+    vmapped = n_chains > 1
+
+    def warm_body(carry, _):
+        params, log_p, key, da, wf, inv_mass = carry
+        params, log_p, acc, key = kernel(
+            key, params, log_p, jnp.exp(da.log_eps), inv_mass
+        )
+        da = da_update(da, acc, target=target_accept)
+        wf = welford_update(wf, params)
+        return (params, log_p, key, da, wf, inv_mass), None
+
+    def sample_body(carry, _):
+        params, log_p, key, eps, inv_mass = carry
+        accs = jnp.zeros(())
+        for _ in range(thin):
+            params, log_p, acc, key = kernel(
+                key, params, log_p, eps, inv_mass
+            )
+            accs = accs + acc / thin
+        return (params, log_p, key, eps, inv_mass), (params, accs)
+
+    warm = _chunk_runner(warm_body, vmapped, dispatch_chunk)
+    sample = _chunk_runner(sample_body, vmapped, dispatch_chunk)
+
+    if vmapped:
+        keys = jax.random.split(key, n_chains)
+        keys, init_params = maybe_shard_leading(
+            (keys, init_params), n_chains, shard_chains)
+    else:
+        keys = key
+    if inv_mass0 is None:
+        im0 = jax.tree.map(
+            jnp.ones_like,
+            jax.tree.map(lambda a: a[0], init_params)
+            if vmapped else init_params)
+    else:
+        im0 = jax.tree.map(jnp.asarray, inv_mass0)
+
+    nb = n_chains if vmapped else 0
+    bc = functools.partial(_bcast_chains, nb)
+    # lambda wrap: log_prob may be a (frozen-dataclass) potential whose
+    # array fields make it unhashable as a jit cache key.
+    lp = lambda p: log_prob(p)
+    log_p0 = (jax.jit(jax.vmap(lp)) if vmapped else jax.jit(lp))(
+        init_params)
+    # Stan-style windowed warmup:
+    #   phase 1 (30%): adapt eps under unit mass;
+    #   phase 2 (40%): keep adapting eps, accumulate Welford variance;
+    #   phase 3 (30%): freeze mass = variance, RE-adapt eps under it
+    # (re-initializing dual averaging — eps tuned for unit mass is
+    # wrong once the mass changes).
+    n1 = max(int(0.3 * n_warmup), 1)
+    n3 = max(int(0.3 * n_warmup), 1)
+    n2 = max(n_warmup - n1 - n3, 1)
+    da0 = bc(da_init(jnp.asarray(init_eps)))
+    carry = (init_params, log_p0, keys, da0, _wf_init(init_params, nb),
+             bc(im0))
+    carry, _ = warm(carry, n1)
+    params, log_p, keys, da, wf, _ = carry
+    carry = (params, log_p, keys, da, _wf_init(params, nb), bc(im0))
+    carry, _ = warm(carry, n2)
+    params, log_p, keys, da, wf, _ = carry
+    var_fn = lambda w: welford_variance(
+        w, prior=None if inv_mass0 is None else im0)
+    inv_mass = jax.vmap(var_fn)(wf) if vmapped else var_fn(wf)
+    da3 = (jax.vmap(da_init)(jnp.exp(da.log_eps)) if vmapped
+           else da_init(jnp.exp(da.log_eps)))
+    carry = (params, log_p, keys, da3, _wf_init(params, nb), inv_mass)
+    carry, _ = warm(carry, n3)
+    params, log_p, keys, da, _, _ = carry
+    eps = jnp.exp(da.log_eps_avg)
+
+    carry = (params, log_p, keys, eps, inv_mass)
+    carry, (samples, accs) = sample(carry, n_samples // thin, collect=True)
+    return samples, {"accept_rate": float(np.mean(accs)), "eps": eps}

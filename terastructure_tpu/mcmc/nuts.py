@@ -14,14 +14,17 @@ reuses terastructure_tpu.mcmc.hmc utilities.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.flatten_util import ravel_pytree
 
 from terastructure_tpu.mcmc.hmc import (
-    da_init, da_update, welford_init, welford_update, welford_variance,
+    _bcast_chains, _chunk_runner, _wf_init, da_init, da_update,
+    welford_variance, welford_update,
 )
 
 
@@ -55,7 +58,12 @@ def _is_turning(inv_mass, p_left, p_right, p_sum):
     v_left = inv_mass * p_left
     v_right = inv_mass * p_right
     s = p_sum - 0.5 * (p_left + p_right)
-    return (jnp.dot(v_left, s) <= 0) | (jnp.dot(v_right, s) <= 0)
+    # f32 dots: near-zero U-turn crossings shouldn't flip on MXU bf16
+    # rounding (same class of noise as the potential matmul, lower
+    # stakes — the criterion only gates termination).
+    hi = jax.lax.Precision.HIGHEST
+    return (jnp.dot(v_left, s, precision=hi) <= 0) | (
+        jnp.dot(v_right, s, precision=hi) <= 0)
 
 
 def _leaf_to_ckpt(n):
@@ -154,7 +162,12 @@ def nuts_kernel(log_prob: Callable, max_depth: int = 8,
                 state = leapfrog(c["state"], eps_d, inv_mass)
                 h = _energy(state, inv_mass)
                 dh = h - h0                     # > 0 means worse
-                diverging = dh > max_delta_energy
+                # Non-finite energies ARE divergences: NaN fails the >
+                # comparison, so without the isfinite the trajectory
+                # kept integrating from a NaN state and the NaN reached
+                # sum_acc -> dual averaging -> the chain's eps for good
+                # (observed: one chain of a 3-chain run NaN-frozen).
+                diverging = ~jnp.isfinite(dh) | (dh > max_delta_energy)
                 log_w_leaf = jnp.where(jnp.isfinite(dh), -dh, -jnp.inf)
                 log_w = jnp.logaddexp(c["log_w"], log_w_leaf)
                 # progressive multinomial: accept leaf w.p. w_leaf / w_total
@@ -165,7 +178,8 @@ def nuts_kernel(log_prob: Callable, max_depth: int = 8,
                 proposal = jax.tree.map(
                     lambda a, b: jnp.where(take, b, a), c["proposal"], state
                 )
-                sum_acc = c["sum_acc"] + jnp.exp(jnp.clip(-dh, max=0.0))
+                sum_acc = c["sum_acc"] + jnp.where(
+                    jnp.isfinite(dh), jnp.exp(jnp.clip(-dh, max=0.0)), 0.0)
 
                 leaf = c["leaf"]
                 p_sum = c["p_sum"] + state.p
@@ -294,75 +308,96 @@ def run_nuts(
     n_chains: int = 1,
     shard_chains: bool = True,
     inv_mass0=None,
+    dispatch_chunk: int = 100,
 ):
     """Run NUTS chains (vmapped leading axis when n_chains > 1).
 
-    Returns (samples pytree with leading (chains, samples), diagnostics).
-    shard_chains: place the chain axis on a device mesh when several
-    devices are available (mcmc/chains.py).
+    Returns (samples pytree with leading (chains, samples) as HOST
+    numpy arrays, diagnostics). shard_chains: place the chain axis on a
+    device mesh when several devices are available (mcmc/chains.py).
     inv_mass0: optional diagonal preconditioner pytree (no chain axis,
     e.g. potential.svi_informed_inits' q-variances) used through warmup
     phases 1-2 and as the Welford shrinkage target in phase 3.
+
+    Execution is CHUNKED: at most `dispatch_chunk` transitions run per
+    device program, with the carry round-tripped (donated) between
+    dispatches and samples streamed to host RAM. Monolithic
+    whole-run programs (warmup+sampling in one jit) died on the axon
+    v5e tunnel after ~15 min of device time at the 500x5K validator
+    shape ("TPU worker process crashed", reproducible, exclusive
+    access); bounding per-program runtime is the fix, and streaming
+    keeps O(chunk) — not O(n_samples) — sample state in HBM.
     """
-    kernel = nuts_kernel(log_prob, max_depth=max_depth)
-
-    def single_chain(key, params0):
-        da0 = da_init(jnp.asarray(init_eps))
-        if inv_mass0 is None:
-            im0 = jax.tree.map(jnp.ones_like, params0)
-        else:
-            im0 = jax.tree.map(jnp.asarray, inv_mass0)
-
-        def warm_body(carry, _):
-            params, key, da, wf, inv_mass = carry
-            k_step, key = jax.random.split(key)
-            params, info = kernel(
-                k_step, params, jnp.exp(da.log_eps), inv_mass
-            )
-            da = da_update(da, info["accept_prob"], target=target_accept)
-            wf = welford_update(wf, params)
-            return (params, key, da, wf, inv_mass), info["accept_prob"]
-
-        # Stan-style windowed warmup (see hmc.run_hmc): eps-only, then
-        # mass accumulation, then eps RE-adaptation under the new mass.
-        n1 = max(int(0.3 * n_warmup), 1)
-        n3 = max(int(0.3 * n_warmup), 1)
-        n2 = max(n_warmup - n1 - n3, 1)
-        carry = (params0, key, da0, welford_init(params0), im0)
-        carry, _ = jax.lax.scan(warm_body, carry, None, length=n1)
-        params, key, da, wf, _ = carry
-        carry = (params, key, da, welford_init(params), im0)
-        carry, _ = jax.lax.scan(warm_body, carry, None, length=n2)
-        params, key, da, wf, _ = carry
-        inv_mass = welford_variance(
-            wf, prior=None if inv_mass0 is None else im0)
-        carry = (params, key, da_init(jnp.exp(da.log_eps)),
-                 welford_init(params), inv_mass)
-        carry, _ = jax.lax.scan(warm_body, carry, None, length=n3)
-        params, key, da, _, _ = carry
-        eps = jnp.exp(da.log_eps_avg)
-
-        def sample_body(carry, _):
-            params, key = carry
-            k_step, key = jax.random.split(key)
-            params, info = kernel(k_step, params, eps, inv_mass)
-            return (params, key), (params, info["accept_prob"],
-                                   info["diverging"])
-
-        (_, _), (samples, accs, divs) = jax.lax.scan(
-            sample_body, (params, key), None, length=n_samples
-        )
-        return samples, {
-            "accept_rate": jnp.mean(accs),
-            "divergence_rate": jnp.mean(divs),
-            "eps": eps,
-        }
-
-    if n_chains == 1:
-        return single_chain(key, init_params)
     from terastructure_tpu.mcmc.chains import maybe_shard_leading
 
-    keys = jax.random.split(key, n_chains)
-    keys, init_params = maybe_shard_leading(
-        (keys, init_params), n_chains, shard_chains)
-    return jax.jit(jax.vmap(single_chain))(keys, init_params)
+    kernel = nuts_kernel(log_prob, max_depth=max_depth)
+    vmapped = n_chains > 1
+
+    def warm_body(carry, _):
+        params, key, da, wf, inv_mass = carry
+        k_step, key = jax.random.split(key)
+        params, info = kernel(
+            k_step, params, jnp.exp(da.log_eps), inv_mass
+        )
+        da = da_update(da, info["accept_prob"], target=target_accept)
+        wf = welford_update(wf, params)
+        return (params, key, da, wf, inv_mass), None
+
+    def sample_body(carry, _):
+        params, key, eps, inv_mass = carry
+        k_step, key = jax.random.split(key)
+        params, info = kernel(k_step, params, eps, inv_mass)
+        return (params, key, eps, inv_mass), (
+            params, info["accept_prob"], info["diverging"])
+
+    warm = _chunk_runner(warm_body, vmapped, dispatch_chunk)
+    sample = _chunk_runner(sample_body, vmapped, dispatch_chunk)
+
+    if vmapped:
+        keys = jax.random.split(key, n_chains)
+        keys, init_params = maybe_shard_leading(
+            (keys, init_params), n_chains, shard_chains)
+    else:
+        keys = key
+    if inv_mass0 is None:
+        im0 = jax.tree.map(
+            jnp.ones_like,
+            jax.tree.map(lambda a: a[0], init_params)
+            if vmapped else init_params)
+    else:
+        im0 = jax.tree.map(jnp.asarray, inv_mass0)
+
+    bc = functools.partial(_bcast_chains, n_chains if vmapped else 0)
+    # Stan-style windowed warmup (see hmc.run_hmc): eps-only, then
+    # mass accumulation, then eps RE-adaptation under the new mass.
+    n1 = max(int(0.3 * n_warmup), 1)
+    n3 = max(int(0.3 * n_warmup), 1)
+    n2 = max(n_warmup - n1 - n3, 1)
+    da0 = bc(da_init(jnp.asarray(init_eps)))
+    wf0 = _wf_init(init_params, n_chains if vmapped else 0)
+    carry = (init_params, keys, da0, wf0, bc(im0))
+    carry, _ = warm(carry, n1)
+    params, keys, da, wf, _ = carry
+    carry = (params, keys, da, _wf_init(params, n_chains if vmapped else 0),
+             bc(im0))
+    carry, _ = warm(carry, n2)
+    params, keys, da, wf, _ = carry
+    var_fn = lambda w: welford_variance(
+        w, prior=None if inv_mass0 is None else im0)
+    inv_mass = jax.vmap(var_fn)(wf) if vmapped else var_fn(wf)
+    da3 = (jax.vmap(da_init)(jnp.exp(da.log_eps)) if vmapped
+           else da_init(jnp.exp(da.log_eps)))
+    carry = (params, keys, da3,
+             _wf_init(params, n_chains if vmapped else 0), inv_mass)
+    carry, _ = warm(carry, n3)
+    params, keys, da, _, _ = carry
+    eps = jnp.exp(da.log_eps_avg)
+
+    carry = (params, keys, eps, inv_mass)
+    carry, outs = sample(carry, n_samples, collect=True)
+    samples, accs, divs = outs
+    return samples, {
+        "accept_rate": float(np.mean(accs)),
+        "divergence_rate": float(np.mean(divs)),
+        "eps": eps,
+    }

@@ -279,3 +279,25 @@ def test_potential_matmul_uses_highest_precision():
         e.params["precision"] == (jax.lax.Precision.HIGHEST,) * 2
         for e in dots
     ), [e.params["precision"] for e in dots]
+
+
+def test_nuts_nonfinite_energy_is_divergence():
+    """A NaN/inf leaf energy must be flagged divergent, not compared
+    away (NaN > threshold is False): pre-fix the NaN reached sum_acc ->
+    dual averaging and froze that chain's eps at NaN for the whole run
+    (observed live on a 3-chain conjugate run). Target with a NaN cliff
+    outside |q| < 2 forces the case deterministically."""
+    from terastructure_tpu.mcmc.nuts import run_nuts
+
+    def log_prob(params):
+        q = params["q"]
+        lp = -0.5 * jnp.sum(q**2)
+        return jnp.where(jnp.all(jnp.abs(q) < 2.0), lp, jnp.nan)
+
+    p0 = {"q": jnp.zeros((3, 2))}
+    samples, info = run_nuts(
+        jax.random.PRNGKey(0), log_prob, p0, n_samples=50, n_warmup=50,
+        max_depth=5, init_eps=0.5)
+    assert np.isfinite(np.asarray(info["eps"])).all()
+    assert np.isfinite(samples["q"]).all()
+    assert float(info["accept_rate"]) > 0.1

@@ -37,7 +37,11 @@ def test_sharded_nuts_matches_vmapped():
     kw = dict(n_samples=200, n_warmup=100, n_chains=4)
     s_ref, d_ref = run_nuts(key, _gauss_logp, init, shard_chains=False, **kw)
     s_sh, d_sh = run_nuts(key, _gauss_logp, init, shard_chains=True, **kw)
-    assert len(s_sh["x"].sharding.device_set) == 4
+    # Samples stream to host (chunked dispatch), so the device-side
+    # evidence of chain sharding is the per-chain eps carried through
+    # every dispatch: GSPMD must keep its chain axis on the 4-device
+    # mesh end-to-end.
+    assert len(d_sh["eps"].sharding.device_set) == 4
     # HMC trajectories are chaotic: different compilations (jit layouts)
     # amplify ulp-level differences, so compare POSTERIOR MOMENTS, and
     # require bitwise determinism within the sharded mode itself.
