@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sampler", default="nuts", choices=["nuts", "hmc", "smc"])
+    ap.add_argument("--sampler", default="nuts", choices=["nuts", "hmc", "chees", "smc"])
     ap.add_argument("--k", type=int, default=3)
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
@@ -41,8 +41,9 @@ def main():
     _, _, x = simulate_psd(n, l, args.k, seed=args.seed, structured=True)
     t0 = time.time()
     kw = {}
-    if args.sampler in ("nuts", "hmc"):
-        chains = args.chains or (4 if args.full else 1)
+    if args.sampler in ("nuts", "hmc", "chees"):
+        chains = args.chains or (16 if args.sampler == "chees"
+                                 else 4 if args.full else 1)
         kw = dict(n_samples=args.n_samples, n_warmup=args.n_warmup,
                   n_chains=chains)
     else:

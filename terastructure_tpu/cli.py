@@ -454,7 +454,7 @@ def cmd_validate(args):
     if args.sub_n or args.sub_l:
         x = x[: args.sub_n or x.shape[0], : args.sub_l or x.shape[1]]
     kw = {}
-    if args.sampler in ("nuts", "hmc"):
+    if args.sampler in ("nuts", "hmc", "chees"):
         kw = dict(n_samples=args.n_samples, n_warmup=args.n_warmup,
                   n_chains=args.chains)
     rep = compare_svi_mcmc(x, k=args.k, sampler=args.sampler,
@@ -572,7 +572,7 @@ def main(argv=None):
     _add_model_args(p)
     _add_svi_args(p)
     p.add_argument("--sampler", default="nuts",
-                   choices=["nuts", "hmc", "smc"])
+                   choices=["nuts", "hmc", "chees", "smc"])
     p.add_argument("--sub-n", type=int, default=0, help="subsample individuals")
     p.add_argument("--sub-l", type=int, default=0, help="subsample SNPs")
     p.add_argument("--n-samples", type=int, default=500)

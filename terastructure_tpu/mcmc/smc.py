@@ -85,6 +85,8 @@ def run_smc(
     ess_target_frac: float = 0.5,
     max_stages: int = 100,
     shard_particles: bool = True,
+    inv_mass0=None,
+    inv_mass_prior=None,
     target_accept: float = 0.65,
     adapt_eps: bool = True,
 ):
@@ -133,8 +135,29 @@ def run_smc(
             return log_prior(p) + new_temp * log_lik(p)
 
         kernel = hmc_kernel(tempered, n_leapfrog)
-        inv_mass = jax.tree.map(jnp.ones_like, jax.tree.map(
-            lambda x: x[0], particles))
+        if inv_mass0 is None:
+            inv_mass = jax.tree.map(jnp.ones_like, jax.tree.map(
+                lambda x: x[0], particles))
+        elif inv_mass_prior is None:
+            # Preconditioned mutations (e.g. the fitted q's z-variances,
+            # potential.q_z_moments): any per-stage-fixed mass is a
+            # valid HMC kernel for every tempered target — efficiency
+            # only. At the 500x1000 validator shape unit-mass mutations
+            # barely move (the same >1000x conditioning that froze
+            # NUTS) and SMC collapsed to theta MAE 0.23.
+            inv_mass = jax.tree.map(jnp.asarray, inv_mass0)
+        else:
+            # The tempered target's scales slide from the PRIOR's to
+            # the posterior's as temp goes 0 -> 1; a posterior-only
+            # mass makes early-stage mutations orders of magnitude too
+            # small for the prior-wide particle cloud (measured: theta
+            # MAE 0.45 on the 40x120 conjugate-ish test). Geometric
+            # interpolation in log-variance tracks the ladder.
+            inv_mass = jax.tree.map(
+                lambda vp, v1: jnp.exp(
+                    (1.0 - new_temp) * jnp.log(jnp.asarray(vp))
+                    + new_temp * jnp.log(jnp.asarray(v1))),
+                inv_mass_prior, inv_mass0)
 
         # Mutation rounds with COLLECTIVE step-size adaptation: after
         # each round the pooled (all-particle) acceptance moves log-eps

@@ -16,7 +16,7 @@ import numpy as np
 
 from terastructure_tpu.config import SVIConfig
 from terastructure_tpu.data.dataset import GenotypeData
-from terastructure_tpu.mcmc import run_hmc, run_nuts, run_smc
+from terastructure_tpu.mcmc import run_chees, run_hmc, run_nuts, run_smc
 from terastructure_tpu.mcmc.potential import PSDPotential, init_params
 from terastructure_tpu.models import psd
 from terastructure_tpu.svi import fit
@@ -82,6 +82,80 @@ def align_ensemble(theta_s, beta_s):
     return theta_s, beta_s, flipped
 
 
+def _smc_postprocess(particles, diag):
+    """Constrain + per-particle label alignment + ensemble moments.
+
+    The PSD posterior is K!-symmetric and tempered SMC mixes BETWEEN
+    the label modes (better mutation -> more hopping), so the raw
+    ensemble mean collapses toward the symmetric average (theta -> 1/K,
+    MAE ~0.3 at K=2). Align every particle's component labels to
+    particle 0 before taking moments — the particle analogue of the
+    per-chain alignment in the NUTS/HMC branch."""
+    g = np.exp(np.asarray(particles["z_theta"], np.float64))
+    theta_s = g / g.sum(-1, keepdims=True)           # (P, N, K)
+    beta_s = np.asarray(jax.nn.sigmoid(particles["z_beta"]), np.float64)
+    theta_s, beta_s, flipped = align_ensemble(theta_s, beta_s)
+    diag = dict(diag)
+    diag["particles_label_aligned"] = flipped
+    return (theta_s.mean(axis=0), beta_s.mean(axis=0), diag)
+
+
+def _smc_bridge_moments(pot, k, *, n_particles, key, svi_state,
+                        scale_sigma, k_alpha, **kw):
+    """Variational-bridge SMC: temper from a diagonal-Gaussian zhat
+    built on the fitted q's z-moments to the exact posterior,
+
+        log pi_t = log qhat + t * (log p - log qhat),
+
+    instead of prior -> posterior. From the PRIOR the incremental
+    log-weights at validator shapes have std ~1e4 nats, so the
+    ESS-adaptive ladder needs thousands of stages and caps out far from
+    temp = 1 (measured at 500x1000 K=3: theta MAE 0.25 after 100
+    stages — particles stranded mid-path). Along the bridge
+    std(log p - log qhat) is modest, the ladder completes in a handful
+    of stages, the target at t = 1 is still EXACT, and the mutation
+    scales are constant along the path (inv_mass = the bridge base's
+    variance). The bridge base is overdispersed (1.5x q variance) for
+    tail cover; its draws and density use the same zhat, so the SMC
+    identities hold regardless of how good q is. diag["log_evidence"]
+    estimates log E_qhat[p/qhat] = log Z exactly.
+    """
+    from terastructure_tpu.mcmc.potential import _acc_dtype, q_z_moments
+
+    kw.pop("inv_mass0", None)
+    kw.pop("inv_mass_prior", None)
+    mean, var = q_z_moments(
+        np.asarray(svi_state.gamma)[:pot.n],
+        np.asarray(svi_state.lamb)[:pot.l],
+        scale_sigma=scale_sigma, k_alpha=k_alpha)
+    var_b = jax.tree.map(lambda v: 1.5 * v, var)
+
+    def log_qb(params):
+        acc = _acc_dtype()
+        tot = jnp.zeros((), acc)
+        for name in ("z_theta", "z_beta"):
+            z, m, v = params[name], mean[name], var_b[name]
+            tot = tot - 0.5 * jnp.sum((z - m) ** 2 / v, dtype=acc) \
+                - 0.5 * jnp.sum(jnp.log(v), dtype=acc)
+        return tot
+
+    def delta(params):
+        return pot(params) - log_qb(params)
+
+    k_draw, k_smc = jax.random.split(key)
+    keys = dict(zip(("z_theta", "z_beta"), jax.random.split(k_draw, 2)))
+    particles0 = {
+        name: mean[name] + jnp.sqrt(var_b[name]) * jax.random.normal(
+            keys[name], (n_particles,) + mean[name].shape, jnp.float32)
+        for name in ("z_theta", "z_beta")}
+    particles, diag = run_smc(
+        k_smc, log_qb, delta, particles0, n_particles=n_particles,
+        inv_mass0=var_b, **kw)
+    theta_m, beta_m, diag = _smc_postprocess(particles, diag)
+    diag["path"] = "variational_bridge"
+    return theta_m, beta_m, diag
+
+
 def _mcmc_moments(x, k, *, alpha, sampler, seed, n_samples, n_warmup,
                   svi_state=None, scale_sigma=0.05, overdisperse=2.0, **kw):
     pot = PSDPotential(x=jnp.asarray(x), alpha=alpha,
@@ -90,6 +164,11 @@ def _mcmc_moments(x, k, *, alpha, sampler, seed, n_samples, n_warmup,
     if sampler == "smc":
         n_particles = kw.pop("n_particles", 512)
         k1, k2, k3 = jax.random.split(key, 3)
+        if svi_state is not None:
+            return _smc_bridge_moments(
+                pot, k, n_particles=n_particles, key=key,
+                svi_state=svi_state, scale_sigma=scale_sigma,
+                k_alpha=k * alpha, **kw)
         # Particles start as exact draws from the potential's PRIOR
         # (tempering requirement). Explicit f32: under x64 only energy
         # sums widen.
@@ -113,21 +192,11 @@ def _mcmc_moments(x, k, *, alpha, sampler, seed, n_samples, n_warmup,
         particles, diag = run_smc(
             k3, pot.log_prior, pot.log_lik, particles0,
             n_particles=n_particles, **kw)
-        # The PSD posterior is K!-symmetric and tempered SMC mixes
-        # BETWEEN the label modes (better mutation -> more hopping), so
-        # the raw ensemble mean collapses toward the symmetric average
-        # (theta -> 1/K, MAE ~0.3 at K=2). Align every particle's
-        # component labels to particle 0 before taking moments — the
-        # particle analogue of the per-chain alignment below.
-        g = np.exp(np.asarray(particles["z_theta"], np.float64))
-        theta_s = g / g.sum(-1, keepdims=True)           # (P, N, K)
-        beta_s = np.asarray(jax.nn.sigmoid(particles["z_beta"]), np.float64)
-        theta_s, beta_s, flipped = align_ensemble(theta_s, beta_s)
-        diag = dict(diag)
-        diag["particles_label_aligned"] = flipped
-        return (theta_s.mean(axis=0), beta_s.mean(axis=0), diag)
+        return _smc_postprocess(particles, diag)
     else:
-        n_chains = kw.pop("n_chains", 1)
+        # ChEES adapts from cross-chain statistics — it WANTS many
+        # vectorized chains (cheap on TPU: fixed-shape batched scans).
+        n_chains = kw.pop("n_chains", 16 if sampler == "chees" else 1)
         k1, k2 = jax.random.split(key)
         inv_mass0 = None
         if svi_state is not None:
@@ -142,7 +211,8 @@ def _mcmc_moments(x, k, *, alpha, sampler, seed, n_samples, n_warmup,
         else:
             params0 = init_params(pot, k1, k=k,
                                   n_chains=n_chains if n_chains > 1 else 0)
-        runner = run_nuts if sampler == "nuts" else run_hmc
+        runner = {"nuts": run_nuts, "hmc": run_hmc,
+                  "chees": run_chees}[sampler]
         samples, diag = runner(
             k2, pot, params0, n_samples=n_samples, n_warmup=n_warmup,
             n_chains=n_chains, inv_mass0=inv_mass0, **kw)

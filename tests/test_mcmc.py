@@ -301,3 +301,46 @@ def test_nuts_nonfinite_energy_is_divergence():
     assert np.isfinite(np.asarray(info["eps"])).all()
     assert np.isfinite(samples["q"]).all()
     assert float(info["accept_rate"]) > 0.1
+
+
+def test_chees_matches_conjugate_posterior():
+    """ChEES-HMC against the exact Beta-Binomial conjugate posterior
+    (same oracle as the HMC/NUTS tests). 16 vectorized chains — the
+    cross-chain ChEES adaptation needs several."""
+    from terastructure_tpu.mcmc.chees import run_chees
+
+    pot, post_mean, post_var = _conjugate_problem()
+    params0 = init_params(pot, jax.random.PRNGKey(9), k=1, n_chains=16)
+    samples, info = run_chees(
+        jax.random.PRNGKey(10), pot, params0,
+        n_samples=150, n_warmup=300, n_chains=16)
+    beta = np.asarray(jax.nn.sigmoid(samples["z_beta"]))  # (16, S, L, 1)
+    assert beta.shape[0] == 16
+    assert 0.2 < info["accept_rate"] <= 1.0
+    pooled = beta.reshape(-1, beta.shape[2])
+    np.testing.assert_allclose(pooled.mean(0), post_mean, atol=0.03)
+    np.testing.assert_allclose(pooled.var(0), post_var, rtol=0.6,
+                               atol=5e-4)
+
+
+def test_chees_gaussian_covariance():
+    """Covariance recovery on a correlated 2-D Gaussian, and the
+    adapted trajectory length must exceed the step size (the adaptation
+    actually moved T off its floor)."""
+    from terastructure_tpu.mcmc.chees import run_chees
+
+    cov = jnp.asarray([[1.0, 0.6], [0.6, 0.5]])
+    prec = jnp.linalg.inv(cov)
+
+    def log_prob(params):
+        z = params["z"]
+        return -0.5 * z @ prec @ z
+
+    C = 16
+    init = {"z": 0.1 * jax.random.normal(jax.random.PRNGKey(1), (C, 2))}
+    s, info = run_chees(jax.random.PRNGKey(0), log_prob, init,
+                        n_samples=300, n_warmup=300, n_chains=C)
+    z = np.asarray(s["z"]).reshape(-1, 2)
+    np.testing.assert_allclose(z.mean(0), [0, 0], atol=0.12)
+    np.testing.assert_allclose(np.cov(z.T), np.asarray(cov), atol=0.15)
+    assert info["trajectory_length"] > 2 * info["eps"]
