@@ -81,6 +81,8 @@ def main():
     ap.add_argument("--max-steps", type=int, default=0,
                     help="override step cap (default: until convergence)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--init-mode", default="random",
+                    choices=["random", "spectral"])
     ap.add_argument("--missing-frac", type=float, default=0.0,
                     help="simulate this fraction of missing genotypes "
                          "(real data is 1-5%% missing)")
@@ -150,7 +152,7 @@ def main():
     cfg = SVIConfig(
         n=n, l=l, k=k, batch_size=min(spec["batch"], l),
         rfreq=100, max_steps=args.max_steps or 20_000, seed=args.seed,
-        snp_group=8,
+        snp_group=8, init=args.init_mode,
     )
     meter = StepMeter(cfg.batch_size)
     t0 = time.time()
@@ -165,7 +167,7 @@ def main():
     theta_hat = np.asarray(psd.theta_mean(res.state.gamma))[:n]
     print(json.dumps(dict(
         config=spec["name"], scale=args.scale, n=n, l=l, k=k,
-        missing_frac=args.missing_frac,
+        missing_frac=args.missing_frac, init=args.init_mode,
         converged=res.converged, steps=res.steps,
         validation_ll=round(res.validation_ll, 6),
         heldout_ll=round(res.heldout_ll, 6) if res.heldout_ll else None,

@@ -51,6 +51,10 @@ def _add_svi_args(p):
                    choices=["float32", "bfloat16"])
     p.add_argument("--kernel", default="auto",
                    choices=["auto", "fused", "pallas", "dense"])
+    p.add_argument("--init-mode", default="random",
+                   choices=["random", "spectral"],
+                   help="gamma init: reference-style random, or "
+                        "randomized-PCA + soft k-means warm start")
     p.add_argument("--predictive", default="plugin",
                    choices=["plugin", "variational"],
                    help="heldout predictive: plug-in Binom(2, E[th]^T "
@@ -189,6 +193,7 @@ def _cfg_from_args(args, n, l):
         kernel=args.kernel, lambda_mode=args.lambda_mode,
         ind_shards=args.ind_shards, snp_shards=args.snp_shards,
         seed=args.seed, label=args.label,
+        init=getattr(args, "init_mode", "random"),
     )
 
 
@@ -442,6 +447,28 @@ def cmd_simulate(args):
     print(args.out + ".bed")
 
 
+def cmd_pca(args):
+    """EIGENSTRAT-style principal components of the genotype matrix
+    (Patterson/Price/Reich 2006) — randomized SVD over the packed
+    2-bit matrix on-device (svi/init.pca_embedding); a standard
+    companion analysis the reference pipeline defers to eigenstrat."""
+    if args.force_cpu:
+        _force_cpu()
+    import jax
+
+    data = _load_data(args, seed=args.seed)
+    from terastructure_tpu.svi.init import pca_embedding
+
+    from terastructure_tpu.io.export import _write_matrix
+
+    packed = jax.device_put(np.asarray(data.packed))
+    e = np.asarray(pca_embedding(packed, data.n, args.components + 1,
+                                 seed=args.seed, l_real=data.l))
+    out = args.out or "pcs.txt"
+    _write_matrix(out, e, data.ind_ids)
+    print(out)
+
+
 def cmd_validate(args):
     if args.force_cpu:
         _force_cpu()
@@ -558,6 +585,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-o", "--out", required=True, help="output path stem")
     p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("pca", help="top principal components of the "
+                       "genotype matrix (randomized SVD on-device)")
+    _add_data_args(p)
+    p.add_argument("--components", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--force-cpu", action="store_true")
+    p.add_argument("-o", "--out", default=None, help="output text path")
+    p.set_defaults(fn=cmd_pca)
 
     p = sub.add_parser("plot", help="STRUCTURE-style admixture bar plot")
     p.add_argument("source", help="run dir (with theta.txt) or a theta.txt")

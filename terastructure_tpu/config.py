@@ -142,6 +142,11 @@ class SVIConfig:
     # Init scale for gamma (reference inits gamma from a gsl rng [MED]).
     gamma_init_scale: float = 0.1
 
+    # gamma initialization: "random" (reference behavior) or "spectral"
+    # (svi/init.py - randomized-PCA + soft k-means warm start; cuts the
+    # random-init wander phase without biasing the fixed point).
+    init: str = "random"
+
     seed: int = 0
     label: str = "run"
 

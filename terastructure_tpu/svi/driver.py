@@ -91,6 +91,12 @@ def fit(
         packed = jax.device_put(_pad_width(np.asarray(data.packed)))
     if state is None:
         state = engine.init_state(cfg, l_padded=packed.shape[0])
+        if cfg.init == "spectral":
+            from terastructure_tpu.svi.init import spectral_gamma
+
+            state = state._replace(gamma=spectral_gamma(
+                data.packed, cfg.n, cfg.k, alpha=cfg.alpha_value,
+                seed=cfg.seed, l_real=cfg.l))
 
     factory = (factory if stream
                else step_fn_factory or engine.make_run_chunk)

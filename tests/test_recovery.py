@@ -57,3 +57,35 @@ def test_multi_seed_stability():
         thetas.append(np.asarray(psd.theta_mean(res.state.gamma)))
     aligned, _ = align_columns(thetas[1], thetas[0])
     assert np.abs(aligned - thetas[0]).mean() < 0.05
+
+
+def test_spectral_init_starts_near_truth_and_fits():
+    """svi/init.py: the randomized-PCA + soft-kmeans gamma must start
+    far closer to the generating theta than a uniform init, and a fit
+    from it must reach the same quality as the random-init fit."""
+    import jax
+
+    from terastructure_tpu.config import SVIConfig
+    from terastructure_tpu.data.dataset import GenotypeData
+    from terastructure_tpu.data.pack import pack2bit
+    from terastructure_tpu.data.simulate import simulate_psd
+    from terastructure_tpu.models import psd
+    from terastructure_tpu.svi import fit
+    from terastructure_tpu.svi.init import spectral_gamma
+    from terastructure_tpu.utils import mean_abs_theta_error
+
+    theta, beta, x = simulate_psd(200, 2000, 3, seed=4, structured=True)
+    packed = pack2bit(x.T)
+    g = np.asarray(spectral_gamma(packed, 200, 3, alpha=1 / 3, seed=0))
+    th0 = g / g.sum(1, keepdims=True)
+    err0 = mean_abs_theta_error(th0, theta)
+    assert err0 < 0.15, err0          # uniform init sits at ~0.39
+
+    data = GenotypeData.from_dense(x, validation_frac=0.01,
+                                   heldout_frac=0.01, seed=0)
+    cfg = SVIConfig(n=200, l=2000, k=3, batch_size=128, rfreq=50,
+                    max_steps=4000, seed=0, init="spectral")
+    res = fit(cfg, data)
+    th = np.asarray(psd.theta_mean(res.state.gamma))
+    assert res.converged
+    assert mean_abs_theta_error(th, theta) < 0.05
