@@ -101,6 +101,10 @@ def _add_data_args(p):
                    help="fit a simulated PSD dataset (-n/-l required)")
     p.add_argument("-n", type=int, help="individuals (txt/simulate)")
     p.add_argument("-l", type=int, help="SNPs (txt/simulate)")
+    p.add_argument("--idfile", default=None,
+                   help="one individual ID per line; overrides .fam IDs "
+                        "in every output (reference -idfile / "
+                        "SNP::read_idfile)")
 
 
 def _force_cpu():
@@ -155,6 +159,16 @@ def _load_data(args, *, seed: int):
         data = GenotypeData.from_dense(
             x, validation_frac=vf, heldout_frac=hf, seed=seed,
             eval_snp_pool=pool)
+    idfile = getattr(args, "idfile", None)
+    if idfile:
+        with open(idfile) as f:
+            ids = [ln.split()[0] for ln in f if ln.strip()]
+        if len(ids) != data.n:
+            raise SystemExit(
+                f"--idfile has {len(ids)} IDs for {data.n} individuals")
+        import dataclasses as _dc
+
+        data = _dc.replace(data, ind_ids=ids)
     return data
 
 
@@ -534,6 +548,8 @@ def _translate_legacy(argv):
         out += ["--rfreq", str(flags["-rfreq"])]
     if "-seed" in flags:
         out += ["--seed", str(flags["-seed"])]
+    if "-idfile" in flags:
+        out += ["--idfile", flags["-idfile"]]
     # -n/-l are read from .fam/.bim; -nthreads is meaningless on TPU.
     return out
 

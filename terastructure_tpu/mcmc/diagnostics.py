@@ -32,6 +32,36 @@ def split_rhat(samples: np.ndarray) -> np.ndarray:
         return np.sqrt(var_hat / w)
 
 
+def _rank_normalize(x: np.ndarray) -> np.ndarray:
+    """Fractional ranks -> normal scores over the pooled draws
+    (Vehtari et al. 2021 eq. 14): rank across ALL chains jointly, map
+    through the normal quantile function. Makes R-hat scale-free AND
+    robust to heavy tails / nonlinear parameterizations."""
+    from scipy.special import ndtri
+
+    c, n = x.shape[:2]
+    flat = x.reshape(c * n, -1)
+    ranks = np.empty_like(flat)
+    order = np.argsort(flat, axis=0)
+    np.put_along_axis(
+        ranks, order,
+        np.broadcast_to(np.arange(1, c * n + 1, dtype=np.float64)[:, None],
+                        flat.shape).copy(), axis=0)
+    z = ndtri((ranks - 0.375) / (c * n + 0.25))
+    return z.reshape(x.shape)
+
+
+def rank_normalized_rhat(samples: np.ndarray) -> np.ndarray:
+    """Max of the rank-normalized split-R-hat on the draws and on the
+    FOLDED draws |x - median| (bulk + tail sensitivity, Vehtari et al.
+    2021's recommended diagnostic)."""
+    x = np.asarray(samples, np.float64)
+    bulk = split_rhat(_rank_normalize(x))
+    folded = np.abs(x - np.median(x.reshape(-1, *x.shape[2:]), axis=0))
+    tail = split_rhat(_rank_normalize(folded))
+    return np.maximum(bulk, tail)
+
+
 def ess(samples: np.ndarray) -> np.ndarray:
     """Bulk effective sample size. samples: (chains, draws, ...) -> (...)."""
     x = _split_chains(np.asarray(samples, np.float64))
@@ -91,9 +121,11 @@ def summarize(samples_tree, max_params: int = 0) -> dict:
             sel = np.linspace(0, flat.shape[2] - 1, max_params).astype(int)
             arr = flat[:, :, sel]
         r = split_rhat(arr)
+        rr = rank_normalized_rhat(arr)
         e = ess(arr)
         report[name] = {
             "max_rhat": float(np.nanmax(r)),
+            "max_rank_rhat": float(np.nanmax(rr)),
             "min_ess": float(np.nanmin(e)),
         }
     return report

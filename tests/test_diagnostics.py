@@ -43,3 +43,21 @@ def test_summarize_tree(rng):
     assert set(rep) == {"a", "b"}
     assert rep["a"]["max_rhat"] < 1.1
     assert rep["b"]["min_ess"] > 50
+
+
+def test_rank_normalized_rhat_flags_variance_mismatch():
+    """Plain split-R-hat is blind to chains that share a mean but
+    differ in VARIANCE; the folded rank-normalized variant (Vehtari et
+    al. 2021) must flag it, and must agree ~1 on well-mixed chains."""
+    from terastructure_tpu.mcmc.diagnostics import (rank_normalized_rhat,
+                                                   split_rhat)
+
+    rng = np.random.default_rng(0)
+    good = rng.normal(size=(4, 500))
+    assert abs(float(rank_normalized_rhat(good)) - 1.0) < 0.03
+
+    # same mean, 10x variance mismatch between chains
+    bad = np.stack([rng.normal(0, 1, 500), rng.normal(0, 1, 500),
+                    rng.normal(0, 10, 500), rng.normal(0, 10, 500)])
+    assert float(split_rhat(bad)) < 1.2           # fooled
+    assert float(rank_normalized_rhat(bad)) > 1.3  # caught by folding

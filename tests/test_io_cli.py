@@ -176,3 +176,25 @@ def test_bed_byte_cols_slice(tmp_path, rng):
     full, _, _ = read_bed(stem + ".bed", n=n, l=l)
     part, _, _ = read_bed(stem + ".bed", n=n, l=l, byte_cols=(2, 6))
     np.testing.assert_array_equal(part, full[:, 2:6])
+
+
+def test_idfile_overrides_output_labels(tmp_path):
+    """Reference -idfile parity (SNP::read_idfile): IDs from the file
+    label every exported row instead of the .fam IDs, via both the
+    subcommand flag and the legacy-flag translation."""
+    from terastructure_tpu import cli
+
+    base = tmp_path / "toy"
+    cli.main(["simulate", "-n", "12", "-l", "40", "-k", "2",
+              "-o", str(base)])
+    ids = tmp_path / "ids.txt"
+    ids.write_text("".join(f"SAMPLE{i}\n" for i in range(12)))
+    cli.main(["fit", "--bed", str(base) + ".bed", "-k", "2",
+              "--idfile", str(ids), "--force-cpu", "--max-steps", "100",
+              "--rfreq", "50", "--out-base", str(tmp_path)])
+    theta = (tmp_path / "n12-k2-l40-run" / "theta.txt").read_text()
+    assert "SAMPLE0" in theta and "SAMPLE11" in theta
+
+    out = cli._translate_legacy(
+        ["-file", "g.bed", "-k", "3", "-idfile", "x.ids"])
+    assert out is not None and "--idfile" in out
