@@ -101,7 +101,8 @@ def run_chees(
 
     grad_fn = jax.vmap(jax.value_and_grad(lp_flat))
 
-    def one_iter(carry, xs):
+    def make_one_iter(l_max):
+      def one_iter(carry, xs):
         """One jittered-HMC transition for all chains + adaptation."""
         q, lp, g, key, da, log_t, adam_m, adam_v, adam_i, msum, msq, mcnt, \
             inv_m, adapt_eps, adapt_t, adapt_mass = carry
@@ -195,21 +196,23 @@ def run_chees(
                  adapt_mass)
         return carry, (q_new, acc_prob, jnp.exp(da.log_eps), jnp.exp(log_t))
 
+      return one_iter
+
     # ---- host-side chunked driver with L_max bucketing --------------
     jit_cache = {}
+    last_l_max = [4]
 
     def run_chunk(carry, us, l_max_static):
-        nonlocal l_max
-        l_max = l_max_static
+        last_l_max[0] = l_max_static
         keyk = (len(us), l_max_static)
         if keyk not in jit_cache:
+            body = make_one_iter(l_max_static)
+
             def f(c, u_arr):
-                return jax.lax.scan(one_iter, c, (u_arr, u_arr))
+                return jax.lax.scan(body, c, (u_arr, u_arr))
 
             jit_cache[keyk] = jax.jit(f)
         return jit_cache[keyk](carry, jnp.asarray(us, jnp.float32))
-
-    l_max = 1  # set per-chunk before tracing
 
     def bucket(t_now, eps_now):
         need = int(np.ceil(t_now / max(eps_now, 1e-12))) + 1
@@ -297,5 +300,5 @@ def run_chees(
         "accept_rate": float(np.mean(accs)),
         "eps": float(epss[-1]),
         "trajectory_length": float(trajs[-1]),
-        "n_leapfrog_bucket": l_max,
+        "n_leapfrog_bucket": last_l_max[0],
     }
