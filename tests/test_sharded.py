@@ -9,6 +9,7 @@ minibatches (different RNG stream); instead we check:
   (c) learning: the sharded engine improves validation ll.
 """
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -257,3 +258,28 @@ def test_sharded_compute_lambda_matches_unsharded():
     lamb_ref = np.asarray(compute_lambda(
         cfg, jnp.asarray(gamma_host), np.asarray(data.packed), block=8))
     np.testing.assert_allclose(lamb_sh, lamb_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_compiled_step_collectives_match_dataflow_model():
+    """The sharded step's compiled HLO must contain exactly the two
+    collectives the design promises (benchmarks/comm_model.py): one
+    (N/I, K) all-reduce over 'snp' for the gamma statistic and one
+    2x(B/S, K) tuple all-reduce over 'ind' in the local-solve body —
+    nothing else. Guards against accidental resharding/communication
+    creep in the hot step."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from benchmarks.comm_model import measured_collective_bytes
+
+    n, k, batch, ind, snp = 256, 4, 128, 2, 4
+    meas = measured_collective_bytes(n=n, l=1024, k=k, batch=batch,
+                                     ind=ind, snp=snp)
+    ar = meas.get("all-reduce", {})
+    assert ar.get("count") == 2, meas
+    gamma = (n // ind) * k * 4
+    lam_pair = 2 * (batch // snp) * k * 4
+    assert ar["bytes"] == gamma + lam_pair, meas
+    for kind in ("all-gather", "collective-permute", "reduce-scatter"):
+        assert kind not in meas, meas
