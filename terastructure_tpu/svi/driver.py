@@ -199,7 +199,8 @@ def fit(
                                    checks % max(checkpoint_every, 1) == 0):
                 from terastructure_tpu.io.checkpoint import save_checkpoint
 
-                save_checkpoint(checkpoint_dir, state, cfg)
+                # async: serialization overlaps the next chunk's steps
+                save_checkpoint(checkpoint_dir, state, cfg, block=False)
             if converged:
                 break
     finally:
@@ -233,6 +234,11 @@ def fit(
                 [lamb_full, lamb_state[cfg.l:]], axis=0)
         state = state._replace(lamb=lamb_full)
 
+    if checkpoint_dir:
+        from terastructure_tpu.io import checkpoint as ckpt
+
+        # commit any in-flight async save before fit() returns
+        ckpt.wait_until_finished()
     held_scorer = make_scorer(data.heldout)
     held_ll = held_scorer(state) if held_scorer is not None else None
     return FitResult(
