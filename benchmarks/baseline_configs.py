@@ -89,6 +89,10 @@ def main():
     ap.add_argument("--no-sim-cache", dest="sim_cache",
                     action="store_false", default=True,
                     help="disable the /tmp simulation cache")
+    ap.add_argument("--fast", action="store_true",
+                    help="big-N fast preset: local_iters=10 + "
+                         "approx-reciprocal stats divides (quality A/B in "
+                         "benchmarks/results/bigN_quality_ab.json)")
     args = ap.parse_args()
 
     spec = CONFIGS[args.config]
@@ -154,6 +158,8 @@ def main():
         rfreq=100, max_steps=args.max_steps or 20_000, seed=args.seed,
         snp_group=8, init=args.init_mode,
     )
+    if args.fast:
+        cfg = cfg.replace(local_iters=10, stats_approx_div=True)
     meter = StepMeter(cfg.batch_size)
     t0 = time.time()
     if len(jax.devices()) > 1:

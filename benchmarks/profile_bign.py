@@ -144,13 +144,27 @@ def main():
             rows, u, t1, t0, tb=tb, tw=tw,
             dtype=jnp.bfloat16, interpret=interpret)
 
+    def stats_v2(rows, u, t1, t0):
+        return pk.batch_stats_fused_v2_packed(
+            rows, u, t1, t0, tb=tb, tw=tw,
+            dtype=jnp.bfloat16, interpret=interpret)
+
+    def sub_solve_tol(rows_sub, u_sub, lamb):
+        return pk.local_solve_packed(
+            rows_sub, u_sub, lamb, beta_a=1.0, beta_b=1.0,
+            local_iters=16, local_tol=1e-4, tb=tb, tw=tw_sub,
+            dtype=jnp.bfloat16, interpret=interpret, stat_scale=w / sub_w)
+
     out["sub_solve16_ms"] = timeit(jax.jit(sub_solve), rows_sub, u_sub, lamb_b0)
+    out["sub_solve_tol_ms"] = timeit(jax.jit(sub_solve_tol),
+                                     rows_sub, u_sub, lamb_b0)
     out["refine1_ms"] = timeit(jax.jit(refine), rows, u, lamb_b0)
     out["stats_pair_ms"] = timeit(jax.jit(stats_pair), rows, u, t1, t0)
     out["stats_fused_ms"] = timeit(jax.jit(stats_fused), rows, u, t1, t0)
+    out["stats_v2_ms"] = timeit(jax.jit(stats_v2), rows, u, t1, t0)
     log("pieces:", {m: out[m] for m in
-                    ("sub_solve16_ms", "refine1_ms", "stats_pair_ms",
-                     "stats_fused_ms")})
+                    ("sub_solve16_ms", "sub_solve_tol_ms", "refine1_ms",
+                     "stats_pair_ms", "stats_fused_ms", "stats_v2_ms")})
 
     # --- full steps --------------------------------------------------
     def run_steps(cfg, tag):
@@ -170,18 +184,8 @@ def main():
     base = SVIConfig(n=n, l=l, k=k, batch_size=b, seed=0, kernel="pallas",
                      lambda_mode="local", local_sub_n=args.sub_n)
 
-    # old behavior: ungrouped gather + two-kernel stats
-    orig = pk.batch_stats_fused_packed
-    pk.batch_stats_fused_packed = (
-        lambda rows, u, t1, t0, **kw: pk.batch_stats_packed(
-            rows, u, t1, t0, **kw))
-    try:
-        run_steps(base.replace(snp_group=1), "step_old")
-    finally:
-        pk.batch_stats_fused_packed = orig
-
-    run_steps(base.replace(snp_group=1), "step_fusedstats")
-    run_steps(base.replace(snp_group=8), "step_new")
+    run_steps(base.replace(stats_kernel="pair"), "step_pair")
+    run_steps(base.replace(stats_kernel="fused_v2"), "step_v2")
 
     print(json.dumps({m: round(v, 3) if isinstance(v, float) else v
                       for m, v in out.items()}))

@@ -90,15 +90,40 @@ class SVIConfig:
     # divide. Only affects the Pallas path.
     local_sub_approx_div: bool = True
 
+    # Which Pallas kernel computes the exact full-N stats pass of the
+    # per-iteration path (engine.step_core_packed):
+    #   "pair"     — two kernels (lambda-stats + gamma-stats), each with
+    #                its own unpack and D = T.U^T dot;
+    #   "fused"    — one kernel, lambda accumulated by dynamic-slice
+    #                read-modify-write (v1; measured slower than pair);
+    #   "fused_v2" — one kernel, lambda emitted as per-w-tile partials
+    #                (no revisits) reduced outside; shares one unpack and
+    #                one D-dot per tile between lambda and gamma.
+    stats_kernel: str = "fused_v2"
+
+    # Compute the exact stats pass's phi-ratio divides with the VPU fast
+    # reciprocal too (stats_kernel="fused_v2" only). Unlike
+    # local_sub_approx_div this perturbs the FINAL lambda/gamma
+    # statistics (~2^-12 relative), not just the inner iterations — keep
+    # it off unless the quality A/B at your config shows the delta is
+    # below MC error (benchmarks/results/bigN_quality_ab.json).
+    stats_approx_div: bool = False
+
     # Gather minibatch rows with the Pallas DMA block-gather kernel
     # (ops/gather.py: concurrent HBM->HBM copies of 8-row-aligned
     # blocks) instead of XLA's latency-bound row gather (~1 us/row on
     # v5e). Implies the minibatch is drawn as batch_size/8 uniform
     # blocks of 8 consecutive SNPs — unbiased for the gamma estimate,
     # same argument as snp_group (single-row HBM DMAs are illegal under
-    # Mosaic int8 tiling). Engages on TPU at biobank L (> 65536) when
+    # Mosaic int8 tiling). Engages on TPU at L >= dma_gather_min_l when
     # L % 8 == 0 and batch_size % 128 == 0; elsewhere packed[idx].
     dma_gather: bool = True
+    # Smallest L the DMA block-gather engages at. The default keeps the
+    # historical "biobank L only" heuristic (independent per-SNP draws
+    # at small L); lower it when N is huge but L modest — e.g. a
+    # resident N=1M x L=32K fit, where the 1 GB/step row gather is the
+    # point of the kernel regardless of L.
+    dma_gather_min_l: int = 65537
 
     # Heldout/validation entry fractions (SURVEY.md §1.2 step 5).
     validation_frac: float = 0.005

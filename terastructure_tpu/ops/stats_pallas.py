@@ -314,6 +314,94 @@ def batch_stats_fused_packed(rows, u, t1, t0, *, tb, tw,
     return gamma_stat, t1 * l0, t0 * l1
 
 
+def _batch_stats_v2_kernel(bytes_ref, up_ref, t1_ref, t0_ref,
+                           g_ref, l0p_ref, l1p_ref, *, dtype,
+                           approx_div=False):
+    """Fused lambda+gamma stats, v2: lambda comes out as PER-W-TILE
+    PARTIALS instead of read-modify-write accumulation.
+
+    Grid (nw, nb) — w-tiles slow, batch-tiles fast. gamma accumulates in
+    its (4, tw, K) block over the fast batch axis (grid-consecutive
+    revisits, like _gamma_kernel); each (j, i) tile writes its lambda
+    contribution to its OWN (1, tb, K) slot of an (nw, B, K) output —
+    no revisits at all, so no first-sweep zeroing and no dynamic-slice
+    RMW (what made _batch_stats_kernel lose to the two-kernel pair).
+    The caller reduces the partials over the nw axis (nw*B*K f32, ~8 MB
+    at config-5 shapes — one cheap XLA sum)."""
+    i = pl.program_id(1)                  # fast axis: batch tiles
+
+    @pl.when(i == 0)
+    def _():
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    tb = t1_ref.shape[0]
+    t_cat = jnp.concatenate(
+        [t1_ref[:].astype(dtype), t0_ref[:].astype(dtype)], axis=0)
+    r, u_cat = _ratios_tile(bytes_ref[:], up_ref, t_cat, dtype,
+                            approx_div=approx_div)
+    tw = up_ref.shape[1]
+    k = up_ref.shape[2]
+    g_ref[:] += jax.lax.dot_general(
+        r, t_cat, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(4, tw, k)
+    acc = jnp.dot(r, u_cat, preferred_element_type=jnp.float32)  # (2TB, K)
+    l0p_ref[:] = acc[:tb][None]
+    l1p_ref[:] = acc[tb:][None]
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "tw", "dtype", "interpret",
+                                             "approx_div"))
+def batch_stats_fused_v2_packed(rows, u, t1, t0, *, tb, tw,
+                                dtype=jnp.bfloat16, interpret=False,
+                                approx_div=False):
+    """All sufficient stats from packed rows in one kernel, v2 layout.
+
+    Same semantics as batch_stats_packed / batch_stats_fused_packed;
+    shares the genotype unpack and the D = T·Uᵀ dot between the lambda
+    and gamma accumulations (3 MXU dots + 1 unpack per tile vs the
+    pair's 4 + 2) without the v1 fused kernel's lambda RMW overhead.
+
+    Returns (gamma_stat (N, K), l0 (B, K), l1 (B, K)).
+    """
+    u_planes = u_to_planes(u)
+    b, w = rows.shape
+    k = u_planes.shape[-1]
+    nb, nw = _tiles(b, w, tb, tw)
+    kern = functools.partial(_batch_stats_v2_kernel, dtype=dtype,
+                             approx_div=approx_div)
+    g, l0p, l1p = pl.pallas_call(
+        kern,
+        grid=(nw, nb),
+        in_specs=[
+            pl.BlockSpec((tb, tw), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tw, k), lambda j, i: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, tw, k), lambda j, i: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, k), lambda j, i: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, k), lambda j, i: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, w, k), jnp.float32),
+            jax.ShapeDtypeStruct((nw, b, k), jnp.float32),
+            jax.ShapeDtypeStruct((nw, b, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows, u_planes, t1, t0)
+    gamma_stat = u * planes_to_flat(g)
+    return gamma_stat, t1 * l0p.sum(axis=0), t0 * l1p.sum(axis=0)
+
+
 def local_solve_packed(rows, u, lamb_b, *, beta_a, beta_b, local_iters,
                        local_tol, tb, tw, dtype=jnp.bfloat16,
                        interpret=False, stat_scale=1.0, approx_div=False):

@@ -283,21 +283,31 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
             # one exact full-N refinement before the final stats
             lamb_b = one_iter(lamb_b, rows, u_planes, tw, 1.0)
 
-        # Final exact stats from the converged t's.
+        # Final exact stats from the converged t's. The t-factors are
+        # replicated across 'ind' shards (the solve is lockstep), so
+        # psum(t * l_raw) == t * psum(l_raw) and both kernel layouts
+        # reduce identically.
         t1, t0 = ops.exp_elog_beta(lamb_b)
-        l0r, l1r = pk.lambda_stats_packed(
-            rows, u_planes, t1, t0, tb=tb, tw=tw, dtype=kdtype,
-            interpret=interpret)
-        l0r = psum_ind(l0r)
-        l1r = psum_ind(l1r)
-        g = pk.gamma_stats_packed(
-            rows, u_planes, t1, t0, tb=tb, tw=tw, dtype=kdtype,
-            interpret=interpret)
-        gamma_stat = u * pk.planes_to_flat(g)           # local individuals
+        if cfg.stats_kernel == "fused_v2":
+            gamma_stat, l0s, l1s = pk.batch_stats_fused_v2_packed(
+                rows, u, t1, t0, tb=tb, tw=tw, dtype=kdtype,
+                interpret=interpret, approx_div=cfg.stats_approx_div)
+            l0s = psum_ind(l0s)
+            l1s = psum_ind(l1s)
+        else:
+            l0r, l1r = pk.lambda_stats_packed(
+                rows, u_planes, t1, t0, tb=tb, tw=tw, dtype=kdtype,
+                interpret=interpret)
+            l0s = t1 * psum_ind(l0r)
+            l1s = t0 * psum_ind(l1r)
+            g = pk.gamma_stats_packed(
+                rows, u_planes, t1, t0, tb=tb, tw=tw, dtype=kdtype,
+                interpret=interpret)
+            gamma_stat = u * pk.planes_to_flat(g)       # local individuals
 
         if not local_mode:
             new_lamb_b = jnp.stack(
-                [cfg.beta_a + t1 * l0r, cfg.beta_b + t0 * l1r], axis=-1)
+                [cfg.beta_a + l0s, cfg.beta_b + l1s], axis=-1)
             lamb_l = lamb_l.at[idx].set(new_lamb_b)
 
         gamma_stat = jax.lax.psum(gamma_stat, axis_name=SNP_AXIS)

@@ -98,7 +98,7 @@ def _sample_rows(cfg: SVIConfig, packed, key, l_sample, *, interpret):
     SVIConfig.snp_group). Otherwise: independent per-row draws + XLA
     fancy-index gather. Returns (idx (B,), rows (B, W))."""
     b = cfg.batch_size
-    if (cfg.dma_gather and not interpret and l_sample > 65536
+    if (cfg.dma_gather and not interpret and l_sample >= cfg.dma_gather_min_l
             and l_sample % 8 == 0 and b % 128 == 0):
         from terastructure_tpu.ops.gather import gather_row_blocks
 
@@ -225,13 +225,21 @@ def step_core_packed(cfg: SVIConfig, gamma, rows, lamb_b, *,
         )
     e1, e0 = psd.elog_beta(lamb_b)
     t1, t0 = jnp.exp(e1), jnp.exp(e0)
-    # Two-kernel stats pair: measured FASTER than the one-kernel
-    # batch_stats_fused_packed on v5e (12.5 vs 13.4 ms at
-    # N=100K B=4096 K=10, benchmarks/profile_bign.py) despite the
-    # recomputed D-dot — the fused kernel's lambda read-modify-write
-    # costs more than the saved matmul at K<<128.
-    gamma_stat, l0, l1 = pk.batch_stats_packed(
-        rows, u, t1, t0, tb=tb, tw=tw, dtype=dtype, interpret=interpret)
+    # Exact full-N stats pass — kernel choice per cfg.stats_kernel. The
+    # v1 one-kernel fusion lost to the two-kernel pair on v5e (13.4 vs
+    # 12.5 ms at N=100K B=4096 K=10) because its lambda dynamic-slice
+    # read-modify-write cost more than the saved D-dot; v2 removes the
+    # RMW (per-w-tile lambda partials, reduced outside) and keeps the
+    # shared unpack + D-dot.
+    if cfg.stats_kernel == "fused_v2":
+        gamma_stat, l0, l1 = pk.batch_stats_fused_v2_packed(
+            rows, u, t1, t0, tb=tb, tw=tw, dtype=dtype, interpret=interpret,
+            approx_div=cfg.stats_approx_div)
+    else:
+        stats_fn = {"pair": pk.batch_stats_packed,
+                    "fused": pk.batch_stats_fused_packed}[cfg.stats_kernel]
+        gamma_stat, l0, l1 = stats_fn(
+            rows, u, t1, t0, tb=tb, tw=tw, dtype=dtype, interpret=interpret)
     new_lamb_b = jnp.stack(
         [cfg.beta_a + l0, cfg.beta_b + l1], axis=-1)[:b]
     return new_lamb_b, gamma_stat[:n]

@@ -117,6 +117,28 @@ def test_batch_stats_fused_match_pair():
                                rtol=2e-5, atol=1e-5)
 
 
+def test_batch_stats_fused_v2_match_pair():
+    """v2 fused stats (per-w-tile lambda partials) == the two-kernel
+    pair on a multi-tile grid (both the gamma fast-axis accumulation and
+    the no-revisit lambda partial slots are exercised)."""
+    x, rows, gamma, lamb_b = _problem(b=24, n=4096, k=4, seed=6)
+    u = ops.exp_elog_theta(gamma)
+    t1, t0 = ops.exp_elog_beta(lamb_b)
+
+    tb, tw = pk.pick_tiles(*rows.shape)
+    assert rows.shape[1] // tw > 1 and rows.shape[0] // tb > 1
+    g_w, l0_w, l1_w = pk.batch_stats_packed(
+        rows, u, t1, t0, tb=tb, tw=tw, dtype=jnp.float32, interpret=True)
+    g, l0, l1 = pk.batch_stats_fused_v2_packed(
+        rows, u, t1, t0, tb=tb, tw=tw, dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_w),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l0_w),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l1_w),
+                               rtol=2e-5, atol=1e-5)
+
+
 def test_full_step_pallas_vs_dense():
     """End-to-end engine step: pallas impl == dense impl (f32, ragged N/B)."""
     n, l, k = 333, 64, 3                       # ragged N on purpose
