@@ -160,6 +160,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-resident", action="store_true")
     ap.add_argument("--skip-stream", action="store_true")
+    ap.add_argument("--batch-str", type=int, default=4096,
+                    help="streaming batch size (1 GB/step at 4096; lower "
+                         "if the host->device tunnel is the bottleneck)")
     ap.add_argument("--n", type=int, default=0, help="override N (smoke)")
     ap.add_argument("--l-stream", type=int, default=0)
     ap.add_argument("--l-res", type=int, default=0)
@@ -235,7 +238,8 @@ def main():
         data_str = GenotypeData(
             n=N, l=L_STREAM, packed=packed, **ents)
         cfg = SVIConfig(n=N, l=L_STREAM, k=K,
-                        batch_size=min(4096, L_STREAM // 2), rfreq=100,
+                        batch_size=min(args.batch_str, L_STREAM // 2),
+                        rfreq=100,
                         seed=args.seed, kernel="pallas",
                         lambda_mode="local", stats_approx_div=True,
                         snp_group=64)
