@@ -53,53 +53,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def simulate_device(n, l, k, seed, missing_frac=0.0, chunk=256):
-    """Device-side PSD draw -> (packed (l, n//4) uint8 host, theta (n,k)).
+def simulate_device(n, l, k, seed):
+    """Library device-side PSD draw with progress logging."""
+    from terastructure_tpu.data.simulate import simulate_packed_device
 
-    theta: one dominant component per individual (matches
-    baseline_configs._simulate); beta ~ U(0,1) per SNP; x = two
-    Bernoulli(theta_i . beta_j) draws, packed 2-bit on device.
-    """
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    dominant = rng.integers(0, k, size=n)
-    conc = np.full((n, k), 0.2)
-    conc[np.arange(n), dominant] = 5.0
-    g = rng.gamma(conc, 1.0)
-    theta = (g / g.sum(1, keepdims=True)).astype(np.float32)
-    theta_d = jax.device_put(theta)
-    w = n // 4
-
-    @jax.jit
-    def sim_chunk(theta_d, beta, key):
-        p = jnp.clip(beta @ theta_d.T, 0.0, 1.0)          # (C, N)
-        k1, k2, k3 = jax.random.split(key, 3)
-        u1 = jax.random.uniform(k1, p.shape, jnp.float32)
-        u2 = jax.random.uniform(k2, p.shape, jnp.float32)
-        x = (u1 < p).astype(jnp.int32) + (u2 < p).astype(jnp.int32)
-        if missing_frac > 0:
-            u3 = jax.random.uniform(k3, p.shape, jnp.float32)
-            x = jnp.where(u3 < missing_frac, 3, x)
-        q = x.reshape(-1, w, 4)
-        packed = (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4)
-                  | (q[..., 3] << 6))
-        return packed.astype(jnp.uint8)
-
-    packed = np.empty((l, w), np.uint8)
-    key = jax.random.PRNGKey(seed)
     t0 = time.time()
-    for j0 in range(0, l, chunk):
-        j1 = min(j0 + chunk, l)
-        beta = np.clip(rng.beta(1, 1, size=(chunk, k)), 1e-4,
-                       1 - 1e-4).astype(np.float32)
-        out = sim_chunk(theta_d, jax.device_put(beta),
-                        jax.random.fold_in(key, j0))
-        packed[j0:j1] = np.asarray(out)[: j1 - j0]
-        if j0 % (chunk * 64) == 0:
-            log(f"sim {j0}/{l} ({time.time()-t0:.0f}s)")
+
+    def prog(j, total):
+        if j % (256 * 64) == 0:
+            log(f"sim {j}/{total} ({time.time()-t0:.0f}s)")
+
+    packed, theta = simulate_packed_device(n, l, k, seed=seed,
+                                           progress=prog)
     return packed, theta, time.time() - t0
 
 

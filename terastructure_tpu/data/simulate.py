@@ -85,3 +85,65 @@ def simulate_packed(n, l, k, **kw):
     """
     theta, beta, x = simulate_psd(n, l, k, **kw)
     return theta, beta, pack2bit(np.ascontiguousarray(x.T))
+
+
+def simulate_packed_device(n, l, k, *, seed: int = 0,
+                           missing_frac: float = 0.0, chunk: int = 256,
+                           progress=None):
+    """Device-side PSD draw -> (packed (l, ceil(n/4)) uint8 HOST, theta).
+
+    The host simulator costs hours at biobank shapes (1M x 100K ~ 7 h on
+    4 cores); this one draws the Binomial(2, theta.beta) genotypes and
+    packs them to 2-bit ON DEVICE in SNP chunks (MXU matmul + threefry
+    uniforms), pulling back ~n/4-byte rows per chunk. Requires
+    n % 4 == 0. theta matches simulate_psd(structured=True)'s
+    dominant-component shape (drawn host-side, same generator family but
+    NOT bit-identical to simulate_psd). beta ~ U(0,1) per SNP is drawn
+    host-side per chunk and not returned (regenerate from seed if
+    needed).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if n % 4:
+        raise ValueError("simulate_packed_device requires n % 4 == 0")
+    rng = np.random.default_rng(seed)
+    dominant = rng.integers(0, k, size=n)
+    conc = np.full((n, k), 0.2)
+    conc[np.arange(n), dominant] = 5.0
+    theta = np.empty((n, k), np.float32)
+    for i in range(0, n, 1 << 16):
+        sl = slice(i, min(i + (1 << 16), n))
+        g = rng.gamma(conc[sl], 1.0)
+        theta[sl] = (g / g.sum(1, keepdims=True)).astype(np.float32)
+    theta_d = jax.device_put(theta)
+    w = n // 4
+
+    @jax.jit
+    def sim_chunk(theta_d, beta, key):
+        p = jnp.clip(beta @ theta_d.T, 0.0, 1.0)          # (C, N)
+        k1, k2, k3 = jax.random.split(key, 3)
+        x = ((jax.random.uniform(k1, p.shape, jnp.float32) < p)
+             .astype(jnp.int32)
+             + (jax.random.uniform(k2, p.shape, jnp.float32) < p)
+             .astype(jnp.int32))
+        if missing_frac > 0:
+            u3 = jax.random.uniform(k3, p.shape, jnp.float32)
+            x = jnp.where(u3 < missing_frac, 3, x)
+        q = x.reshape(-1, w, 4)     # byte b holds individuals 4b..4b+3
+        packed = (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4)
+                  | (q[..., 3] << 6))
+        return packed.astype(jnp.uint8)
+
+    packed = np.empty((l, w), np.uint8)
+    key = jax.random.PRNGKey(seed)
+    for j0 in range(0, l, chunk):
+        j1 = min(j0 + chunk, l)
+        beta = np.clip(rng.beta(1, 1, size=(chunk, k)), 1e-4,
+                       1 - 1e-4).astype(np.float32)
+        out = sim_chunk(theta_d, jax.device_put(beta),
+                        jax.random.fold_in(key, j0))
+        packed[j0:j1] = np.asarray(out)[: j1 - j0]
+        if progress is not None:
+            progress(j1, l)
+    return packed, theta

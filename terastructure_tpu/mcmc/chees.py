@@ -107,15 +107,24 @@ def run_chees(
         q, lp, g, key, da, log_t, adam_m, adam_v, adam_i, msum, msq, mcnt, \
             inv_m, adapt_eps, adapt_t, adapt_mass = carry
         u, _ = xs
-        k_mom, k_acc, key = jax.random.split(key, 3)
+        k_mom, k_acc, k_jit, key = jax.random.split(key, 4)
         eps = jnp.exp(da.log_eps).astype(q.dtype)
         # dynamics in the position dtype (f32); only energy reductions
         # and the adaptation state widen under x64
         inv_mc = inv_m.astype(q.dtype)
         traj = jnp.exp(log_t)
-        # shared jitter: this iteration's target number of steps
+        # Jitter: SHARED across chains while T adapts (the ChEES
+        # gradient estimator requires a common u), per-chain i.i.d.
+        # once adaptation freezes — sampling with chain-independent
+        # trajectory lengths breaks the length resonances that
+        # under-serve the slowest coordinates (the documented ChEES
+        # R-hat tail); any state-independent jitter keeps the kernel
+        # valid. Cost is unchanged: the scan is l_max-static either way.
+        u_chain = jnp.where(
+            adapt_t, jnp.full((q.shape[0],), u, q.dtype),
+            jax.random.uniform(k_jit, (q.shape[0],), q.dtype))
         n_steps = jnp.maximum(
-            (u * traj / eps).astype(jnp.int32), 1)
+            (u_chain * traj / eps).astype(jnp.int32), 1)
         n_steps = jnp.minimum(n_steps, l_max)
 
         p = jax.random.normal(k_mom, q.shape, q.dtype) / jnp.sqrt(inv_mc)
@@ -124,15 +133,15 @@ def run_chees(
 
         def leap(c, i):
             q, p, lp_c, g_c = c
-            active = i < n_steps      # scalar: jitter is shared
+            active = i < n_steps      # (C,): per-chain step mask
             pn = p + 0.5 * eps * g_c.astype(q.dtype)
             qn = q + eps * inv_mc * pn
             lpn, gn = grad_fn(qn)
             pn = pn + 0.5 * eps * gn.astype(q.dtype)
-            q = jnp.where(active, qn, q)
-            p = jnp.where(active, pn, p)
+            q = jnp.where(active[:, None], qn, q)
+            p = jnp.where(active[:, None], pn, p)
             lp_c = jnp.where(active, lpn, lp_c)
-            g_c = jnp.where(active, gn, g_c)
+            g_c = jnp.where(active[:, None], gn, g_c)
             return (q, p, lp_c, g_c), None
 
         # static-length scan; steps beyond n_steps pass through (masked)

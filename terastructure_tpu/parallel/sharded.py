@@ -224,11 +224,12 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
     kdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
               else jnp.float32)
 
-    def _local_step_pk(gamma_l, lamb_l, packed_l, t, kb, idx):
+    def _local_step_pk(gamma_l, lamb_l, packed_l, t, kb, idx, rows=None):
         from terastructure_tpu.ops import stats_pallas as pk
 
         tb, tw = pk_tiles
-        rows = packed_l[idx]                            # (B_l, W/I)
+        if rows is None:
+            rows = packed_l[idx]                        # (B_l, W/I)
         u = ops.exp_elog_theta(gamma_l)                 # (4*W/I, K)
         u_planes = pk.u_to_planes(u)
 
@@ -322,7 +323,25 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
         # gamma_l: (N/I, K)  lamb_l: (L/S, K, 2)  packed_l: (L/S, W/I)
         s_idx = jax.lax.axis_index(SNP_AXIS)
         kb = jax.random.fold_in(jax.random.fold_in(key, t), s_idx)
-        idx = jax.random.randint(kb, (b_local,), 0, l_local, dtype=jnp.int32)
+        # Per-shard DMA block-gather (same unbiasedness argument as the
+        # single-device engine._sample_rows): the minibatch's local rows
+        # are drawn as b_local/8 uniform 8-row blocks of the SNP shard
+        # and fetched at copy bandwidth. TPU-only; threshold knob is on
+        # the PER-SHARD row count.
+        rows_pre = None
+        if (cfg.dma_gather and not interpret and use_pk and not want_fused
+                and l_local >= cfg.dma_gather_min_l
+                and l_local % 8 == 0 and b_local % 128 == 0):
+            from terastructure_tpu.ops.gather import gather_row_blocks
+
+            blocks = jax.random.randint(
+                kb, (b_local // 8,), 0, l_local // 8, dtype=jnp.int32)
+            idx = (blocks[:, None] * 8
+                   + jnp.arange(8, dtype=jnp.int32)).reshape(b_local)
+            rows_pre = gather_row_blocks(packed_l, blocks, block=8)
+        else:
+            idx = jax.random.randint(kb, (b_local,), 0, l_local,
+                                     dtype=jnp.int32)
         wl = packed_l.shape[1]
 
         if want_fused and fused_step.supports(b_local, wl):
@@ -359,7 +378,8 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
             # because every shard sees identical psum'ed stats). Big-N
             # iteration subsampling (cfg.local_sub_n) applies per shard
             # with globally-consistent N/Ns scaling.
-            return _local_step_pk(gamma_l, lamb_l, packed_l, t, kb, idx)
+            return _local_step_pk(gamma_l, lamb_l, packed_l, t, kb, idx,
+                                  rows=rows_pre)
 
         rows = packed_l[idx]                            # (B_l, W/I)
         xb = _unpack_local(rows, rows.shape[1] * 4)     # (B_l, N/I)

@@ -56,27 +56,63 @@ class BatchStream:
         self.wp = self.w + (-self.w) % 128
         g = cfg.snp_group
         self.g = g if (g > 1 and self.b % g == 0) else 1
+        # Block copies release the GIL; at biobank W a batch is ~1 GB of
+        # host memcpy, so fan the group copies over a few threads.
+        self._pool = (ThreadPoolExecutor(max_workers=4)
+                      if self.g >= 8 and self.b * self.wp >= (64 << 20)
+                      else None)
+        # Ping-pong batch buffers (double-buffered prefetch => at most
+        # two live batches): the 0xFF padding columns are written once.
+        # Safe only when device_put genuinely copies (we block on the
+        # transfer below); the CPU backend may alias numpy memory, so
+        # reuse engages off-CPU only.
+        self._reuse = jax.default_backend() != "cpu"
+        self._bufs = ([np.full((self.b, self.wp), 0xFF, dtype=np.uint8)
+                       for _ in range(2)] if self._reuse else None)
+
+    def _fill_groups(self, buf, starts, lo, hi):
+        g, l, w = self.g, self.l, self.w
+        for i in range(lo, hi):
+            s = starts[i]
+            e = s + g
+            if e <= l:
+                buf[i * g:(i + 1) * g, :w] = self.packed[s:e]
+            else:
+                k1 = l - s
+                buf[i * g:i * g + k1, :w] = self.packed[s:l]
+                buf[i * g + k1:(i + 1) * g, :w] = self.packed[:e - l]
 
     def batch(self, t: int):
         """Sampled rows for step t -> device uint8 (B, Wp)."""
         rng = np.random.default_rng(np.random.SeedSequence((self.seed, t)))
-        buf = np.full((self.b, self.wp), 0xFF, dtype=np.uint8)
+        buf = (self._bufs[t % 2] if self._reuse
+               else np.full((self.b, self.wp), 0xFF, dtype=np.uint8))
         g, l, w = self.g, self.l, self.w
         starts = rng.integers(0, l, size=self.b // g)
         if g == 1:
             # single fancy-index gather (memmap reads only touched rows)
             buf[:, :w] = self.packed[starts]
-        else:
+        elif self._pool is None:
             # contiguous groups with wraparound — uniform per-SNP marginal
-            for i, s in enumerate(starts):
-                e = s + g
-                if e <= l:
-                    buf[i * g:(i + 1) * g, :w] = self.packed[s:e]
-                else:
-                    k1 = l - s
-                    buf[i * g:i * g + k1, :w] = self.packed[s:l]
-                    buf[i * g + k1:(i + 1) * g, :w] = self.packed[:e - l]
-        return jax.device_put(buf)
+            self._fill_groups(buf, starts, 0, len(starts))
+        else:
+            ng = len(starts)
+            step = (ng + 3) // 4
+            futs = [self._pool.submit(self._fill_groups, buf, starts,
+                                      lo, min(lo + step, ng))
+                    for lo in range(0, ng, step)]
+            for f in futs:
+                f.result()
+        # device_put's host-buffer semantics require the source to stay
+        # unmodified until the transfer completes; we reuse this buffer
+        # two batches from now, so force completion (in the prefetch
+        # thread) before handing the array over. A one-element host
+        # read-back is used instead of block_until_ready, which returns
+        # early through tunneled-TPU transports.
+        out = jax.device_put(buf)
+        if self._reuse:
+            np.asarray(out[:1, :1])
+        return out
 
 
 def make_stream_step(cfg: SVIConfig, l_sample: int):

@@ -73,3 +73,29 @@ def test_from_bed_is_packed_native(tmp_path, monkeypatch):
     assert (_lookup_packed(data.packed, v.ind_idx, v.snp_idx) == 3).all()
     # and they match the original dense matrix
     np.testing.assert_array_equal(v.x, x[v.ind_idx, v.snp_idx])
+
+
+def test_simulate_packed_device_moments():
+    """Device-side simulator: genotype mean ~ 2 theta.beta per entry,
+    missing fraction honored, packing convention matches pack2bit."""
+    from terastructure_tpu.data.pack import unpack2bit
+    from terastructure_tpu.data.simulate import simulate_packed_device
+    from terastructure_tpu.models.psd import MISSING as M
+
+    n, l, k = 512, 512, 3
+    packed, theta = simulate_packed_device(n, l, k, seed=3,
+                                           missing_frac=0.1, chunk=128)
+    assert packed.shape == (l, n // 4) and packed.dtype == np.uint8
+    x = unpack2bit(packed, n)                  # (l, n)
+    miss = x == M
+    assert abs(miss.mean() - 0.1) < 0.01
+    # theta rows on the simplex
+    np.testing.assert_allclose(theta.sum(1), 1.0, rtol=1e-5)
+    # marginal genotype mean: E[x_ij] = 2 theta_i . beta_j with
+    # beta ~ U(0,1)  =>  E over SNPs = sum_k theta_ik = 1
+    per_ind = np.where(miss, np.nan, x.astype(float))
+    m = np.nanmean(per_ind, axis=0)            # (n,) mean over SNPs
+    assert abs(np.nanmean(m) - 1.0) < 0.02
+    # structured theta should vary individual genotype means with the
+    # dominant component (not all ~equal): check spread is non-trivial
+    assert np.nanstd(m) > 0.01

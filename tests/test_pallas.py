@@ -139,6 +139,23 @@ def test_batch_stats_fused_v2_match_pair():
                                rtol=2e-5, atol=1e-5)
 
 
+def test_batch_stats_fused_v2_approx_div_close():
+    """stats_approx_div perturbs the exact pass by only the fast-
+    reciprocal error (~2^-12 relative)."""
+    x, rows, gamma, lamb_b = _problem(b=16, n=2048, k=4, seed=7)
+    u = ops.exp_elog_theta(gamma)
+    t1, t0 = ops.exp_elog_beta(lamb_b)
+    tb, tw = pk.pick_tiles(*rows.shape)
+    g_e, l0_e, l1_e = pk.batch_stats_fused_v2_packed(
+        rows, u, t1, t0, tb=tb, tw=tw, dtype=jnp.float32, interpret=True)
+    g_a, l0_a, l1_a = pk.batch_stats_fused_v2_packed(
+        rows, u, t1, t0, tb=tb, tw=tw, dtype=jnp.float32, interpret=True,
+        approx_div=True)
+    for a, e in ((g_a, g_e), (l0_a, l0_e), (l1_a, l1_e)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=5e-3, atol=5e-3)
+
+
 def test_full_step_pallas_vs_dense():
     """End-to-end engine step: pallas impl == dense impl (f32, ragged N/B)."""
     n, l, k = 333, 64, 3                       # ragged N on purpose
