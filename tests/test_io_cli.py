@@ -198,3 +198,36 @@ def test_idfile_overrides_output_labels(tmp_path):
     out = cli._translate_legacy(
         ["-file", "g.bed", "-k", "3", "-idfile", "x.ids"])
     assert out is not None and "--idfile" in out
+
+
+def test_cli_fast_preset_maps_to_config():
+    """--fast maps to local_iters=10 + stats_approx_div (and an explicit
+    --local-iters overrides the preset's iteration count)."""
+    import terastructure_tpu.cli as c
+
+    ns = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
+                     "-k", "2", "--fast"])
+    cfg = c._cfg_from_args(ns, 64, 128)
+    assert cfg.local_iters == 10 and cfg.stats_approx_div
+
+    ns2 = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
+                      "-k", "2"])
+    cfg2 = c._cfg_from_args(ns2, 64, 128)
+    assert cfg2.local_iters == 16 and not cfg2.stats_approx_div
+
+    ns3 = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
+                      "-k", "2", "--fast", "--local-iters", "12"])
+    cfg3 = c._cfg_from_args(ns3, 64, 128)
+    assert cfg3.local_iters == 12 and cfg3.stats_approx_div
+
+
+def _parse_cli(argv):
+    """Parse argv with the real CLI parser without executing the command."""
+    import unittest.mock as mock
+
+    import terastructure_tpu.cli as c
+
+    captured = {}
+    with mock.patch.object(c, "cmd_fit", lambda args: captured.update(a=args)):
+        c.main(argv)
+    return captured["a"]
