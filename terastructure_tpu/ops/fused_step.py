@@ -75,8 +75,19 @@ def _plane_counts(bytes_blk, s, dtype):
     return a1, a0
 
 
+def _acat_vmem_bytes(b: int, w: int) -> int:
+    """VMEM bytes of the pre-decoded allele-count planes (bf16)."""
+    return (2 * b) * (4 * w) * 2
+
+
+# Pre-decode counts once when they fit this budget alongside the rows,
+# tiles and outputs (kernel vmem_limit is 100 MB).
+ACAT_VMEM_BUDGET = 48 * 1024 * 1024
+
+
 def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
-                 dtype, warm_start, gather_group=0):
+                 dtype, warm_start, gather_group=0, precompute_acat=False,
+                 approx_div=False):
     """Kernel body, two I/O arrangements:
 
     gather_group == 0: rows arrive XLA-gathered —
@@ -93,7 +104,27 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
     n_wt = w // tw
     eps = 1e-30
 
-    def body_common(rows_ref, up_ref, l0i_ref, l1i_ref, lamb_ref, g_ref):
+    def body_common(rows_ref, up_ref, l0i_ref, l1i_ref, lamb_ref, g_ref,
+                    a_ref=None):
+        # --- pre-decode allele counts ONCE (optional) -------------------
+        # The solve re-reads the counts local_iters+1 times and the
+        # 2-bit unpack is pure VPU work (~25% of the step at TGP shape);
+        # counts are in {0, 1, 2} so a bf16 store is EXACT regardless of
+        # the compute dtype.
+        if a_ref is not None:
+            def fill(wt, _):
+                start = pl.multiple_of(wt * tw, tw)
+                blk = rows_ref[:, pl.ds(start, tw)]
+                counts = [_plane_counts(blk, s, jnp.bfloat16)
+                          for s in range(4)]
+                a_ref[:, pl.ds(wt * 4 * tw, 4 * tw)] = jnp.concatenate(
+                    [jnp.concatenate([c[0] for c in counts], axis=1),
+                     jnp.concatenate([c[1] for c in counts], axis=1)],
+                    axis=0)
+                return 0
+
+            jax.lax.fori_loop(0, n_wt, fill, 0)
+
         # --- coordinate ascent, lambda resident in registers/VMEM -------
         if warm_start:
             lam0_init = l0i_ref[:]
@@ -102,7 +133,7 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
             lam0_init = jnp.full((b, k), beta_a, jnp.float32)
             lam1_init = jnp.full((b, k), beta_b, jnp.float32)
 
-        def one_pass(t1, t0, need_g):
+        def one_pass(t1, t0, need_g, approx=False):
             """Sweep W-tiles; returns (l0raw, l1raw) and writes g partials
             when need_g (python-static).
 
@@ -126,18 +157,27 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
             def wt_body(wt, accs):
                 acc0, acc1 = accs
                 start = pl.multiple_of(wt * tw, tw)
-                blk = rows_ref[:, pl.ds(start, tw)]
                 u_cat = up_ref[:, pl.ds(start, tw), :].reshape(
                     4 * tw, k).astype(dtype)                    # (4TW, K)
-                counts = [_plane_counts(blk, s, dtype) for s in range(4)]
-                a_cat = jnp.concatenate(
-                    [jnp.concatenate([c[0] for c in counts], axis=1),
-                     jnp.concatenate([c[1] for c in counts], axis=1)],
-                    axis=0)                                     # (2B, 4TW)
+                if a_ref is not None:
+                    a_cat = a_ref[:, pl.ds(wt * 4 * tw, 4 * tw)]
+                else:
+                    blk = rows_ref[:, pl.ds(start, tw)]
+                    counts = [_plane_counts(blk, s, dtype)
+                              for s in range(4)]
+                    a_cat = jnp.concatenate(
+                        [jnp.concatenate([c[0] for c in counts], axis=1),
+                         jnp.concatenate([c[1] for c in counts], axis=1)],
+                        axis=0)                                 # (2B, 4TW)
                 d = jax.lax.dot_general(
                     t_cat, u_cat, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)         # (2B, 4TW)
-                r = (a_cat.astype(jnp.float32) / (d + eps)).astype(dtype)
+                if approx:
+                    r = (a_cat.astype(jnp.float32)
+                         * pl.reciprocal(d + eps, approx=True)).astype(dtype)
+                else:
+                    r = (a_cat.astype(jnp.float32)
+                         / (d + eps)).astype(dtype)
                 acc = jnp.dot(r, u_cat, preferred_element_type=jnp.float32)
                 if need_g:
                     g_ref[:, pl.ds(start, tw), :] += jax.lax.dot_general(
@@ -158,7 +198,9 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
         def body(carry):
             lam0, lam1, it, _ = carry
             t1, t0 = _exp_elog_beta_inkernel(lam0, lam1)
-            l0, l1 = one_pass(t1, t0, need_g=False)
+            # iteration divides may use the fast reciprocal; the final
+            # stats pass below always divides exactly
+            l0, l1 = one_pass(t1, t0, need_g=False, approx=approx_div)
             new0 = beta_a + t1 * l0
             new1 = beta_b + t0 * l1
             denom = (jnp.sum(jnp.abs(lam0)) + jnp.sum(jnp.abs(lam1))) / (
@@ -179,8 +221,16 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
         lamb_ref[:, :, 1] = beta_b + t0 * l1
 
     if not gather_group:
-        def kernel(rows_ref, up_ref, l0i_ref, l1i_ref, lamb_ref, g_ref):
-            body_common(rows_ref, up_ref, l0i_ref, l1i_ref, lamb_ref, g_ref)
+        if precompute_acat:
+            def kernel(rows_ref, up_ref, l0i_ref, l1i_ref, lamb_ref,
+                       g_ref, a_scr):
+                body_common(rows_ref, up_ref, l0i_ref, l1i_ref, lamb_ref,
+                            g_ref, a_ref=a_scr)
+        else:
+            def kernel(rows_ref, up_ref, l0i_ref, l1i_ref, lamb_ref,
+                       g_ref):
+                body_common(rows_ref, up_ref, l0i_ref, l1i_ref, lamb_ref,
+                            g_ref)
 
         return kernel
 
@@ -188,7 +238,7 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
     ng = b // g
 
     def kernel_dma(idx0_ref, packed_hbm, up_ref, l0i_ref, l1i_ref,
-                   lamb_ref, g_ref, rows_vmem, sem):
+                   lamb_ref, g_ref, rows_vmem, sem, *scr):
         def make_dma(i):
             return pltpu.make_async_copy(
                 packed_hbm.at[pl.ds(pl.multiple_of(idx0_ref[i], g), g)],
@@ -207,7 +257,8 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
             return 0
 
         jax.lax.fori_loop(0, ng, drain, 0)
-        body_common(rows_vmem, up_ref, l0i_ref, l1i_ref, lamb_ref, g_ref)
+        body_common(rows_vmem, up_ref, l0i_ref, l1i_ref, lamb_ref, g_ref,
+                    a_ref=scr[0] if precompute_acat else None)
 
     return kernel_dma
 
@@ -220,11 +271,11 @@ def supports(b: int, w: int) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("local_iters", "local_tol", "beta_a", "beta_b",
-                     "dtype", "warm_start", "interpret"))
+                     "dtype", "warm_start", "interpret", "approx_div"))
 def fused_local_solve(rows, u_planes, lamb_init, *,
                       local_iters, local_tol, beta_a, beta_b,
                       dtype=jnp.bfloat16, warm_start=False,
-                      interpret=False):
+                      interpret=False, approx_div=False):
     """Run the fused step kernel.
 
     rows: (B, W) uint8 gathered minibatch genotype rows.
@@ -236,11 +287,12 @@ def fused_local_solve(rows, u_planes, lamb_init, *,
     if not supports(b, w):
         raise ValueError(f"fused kernel unsupported for B={b}, W={w}")
     tw = 512 if w % 512 == 0 else (256 if w % 256 == 0 else 128)
+    pre = _acat_vmem_bytes(b, w) <= ACAT_VMEM_BUDGET
 
     kernel = _make_kernel(
         b=b, w=w, k=k, tw=tw, local_iters=local_iters,
         local_tol=local_tol, beta_a=beta_a, beta_b=beta_b, dtype=dtype,
-        warm_start=warm_start)
+        warm_start=warm_start, precompute_acat=pre, approx_div=approx_div)
 
     lamb_b, g = pl.pallas_call(
         kernel,
@@ -260,6 +312,8 @@ def fused_local_solve(rows, u_planes, lamb_init, *,
             jax.ShapeDtypeStruct((b, k, 2), jnp.float32),
             jax.ShapeDtypeStruct((4, w, k), jnp.float32),
         ],
+        scratch_shapes=(
+            [pltpu.VMEM((2 * b, 4 * w), jnp.bfloat16)] if pre else []),
         interpret=interpret,
     )(rows, u_planes,
       lamb_init[:, :, 0] + 0.0,
@@ -270,11 +324,12 @@ def fused_local_solve(rows, u_planes, lamb_init, *,
 @functools.partial(
     jax.jit,
     static_argnames=("group", "local_iters", "local_tol", "beta_a",
-                     "beta_b", "dtype", "warm_start", "interpret"))
+                     "beta_b", "dtype", "warm_start", "interpret",
+                     "approx_div"))
 def fused_local_solve_dma(idx0, packed, u_planes, lamb_init, *, group,
                           local_iters, local_tol, beta_a, beta_b,
                           dtype=jnp.bfloat16, warm_start=False,
-                          interpret=False):
+                          interpret=False, approx_div=False):
     """Fused solve with in-kernel group DMA (no XLA gather).
 
     idx0: (B/group,) int32 start rows (multiples of `group`, which must
@@ -288,11 +343,13 @@ def fused_local_solve_dma(idx0, packed, u_planes, lamb_init, *, group,
     if group % 8 or not supports(b, w):
         raise ValueError(f"unsupported B={b}, W={w}, group={group}")
     tw = 512 if w % 512 == 0 else (256 if w % 256 == 0 else 128)
+    pre = _acat_vmem_bytes(b, w) <= ACAT_VMEM_BUDGET
 
     kernel = _make_kernel(
         b=b, w=w, k=k, tw=tw, local_iters=local_iters,
         local_tol=local_tol, beta_a=beta_a, beta_b=beta_b, dtype=dtype,
-        warm_start=warm_start, gather_group=group)
+        warm_start=warm_start, gather_group=group, precompute_acat=pre,
+        approx_div=approx_div)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -310,7 +367,7 @@ def fused_local_solve_dma(idx0, packed, u_planes, lamb_init, *, group,
         scratch_shapes=[
             pltpu.VMEM((b, w), jnp.uint8),
             pltpu.SemaphoreType.DMA,
-        ],
+        ] + ([pltpu.VMEM((2 * b, 4 * w), jnp.bfloat16)] if pre else []),
     )
     lamb_b, g = pl.pallas_call(
         kernel,

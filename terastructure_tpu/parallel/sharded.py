@@ -358,7 +358,8 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
                 rows_f, pk.u_to_planes(u), lamb_init,
                 local_iters=cfg.local_iters, local_tol=cfg.local_tol,
                 beta_a=cfg.beta_a, beta_b=cfg.beta_b, dtype=kdtype,
-                warm_start=not local_mode, interpret=interpret)
+                warm_start=not local_mode, interpret=interpret,
+                approx_div=cfg.stats_approx_div)
             gamma_stat = (u * pk.planes_to_flat(g))[: gamma_l.shape[0]]
             if not local_mode:
                 lamb_l = lamb_l.at[idx].set(new_lamb_b)

@@ -338,7 +338,8 @@ def make_step(cfg: SVIConfig, l_sample: int | None = None):
                     group=g_dma,
                     local_iters=cfg.local_iters, local_tol=cfg.local_tol,
                     beta_a=cfg.beta_a, beta_b=cfg.beta_b, dtype=dtype,
-                    warm_start=not local_mode, interpret=interpret)
+                    warm_start=not local_mode, interpret=interpret,
+                    approx_div=cfg.stats_approx_div)
             else:
                 idx, rows = _sample_rows(cfg, packed, kb, l_s,
                                          interpret=interpret)
@@ -348,7 +349,8 @@ def make_step(cfg: SVIConfig, l_sample: int | None = None):
                     rows, pk.u_to_planes(u), lamb_init,
                     local_iters=cfg.local_iters, local_tol=cfg.local_tol,
                     beta_a=cfg.beta_a, beta_b=cfg.beta_b, dtype=dtype,
-                    warm_start=not local_mode, interpret=interpret)
+                    warm_start=not local_mode, interpret=interpret,
+                    approx_div=cfg.stats_approx_div)
             gamma_stat = (u * pk.planes_to_flat(g))[: gamma.shape[0]]
             if not local_mode:
                 lamb = lamb.at[idx].set(new_lamb_b)

@@ -128,3 +128,22 @@ def test_fused_dma_matches_rows_variant():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_approx_div_close():
+    """Iteration-pass approx reciprocal stays within fast-rcp error of
+    the exact solve (final pass is exact either way)."""
+    x, packed, gamma, idx = _problem()
+    rows = packed[idx]
+    u = ops.exp_elog_theta(gamma)
+    up = pk.u_to_planes(u)
+    lamb0 = jnp.zeros((rows.shape[0], gamma.shape[1], 2), jnp.float32)
+    kw = dict(local_iters=8, local_tol=0.0, beta_a=1.0, beta_b=1.0,
+              dtype=jnp.float32, interpret=True)
+    le, ge = fused_step.fused_local_solve(rows, up, lamb0, **kw)
+    la, ga = fused_step.fused_local_solve(rows, up, lamb0,
+                                          approx_div=True, **kw)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(le),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ge),
+                               rtol=5e-3, atol=5e-3)
