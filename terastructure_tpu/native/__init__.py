@@ -41,6 +41,10 @@ _lib.pack2bit.argtypes = [
 _lib.unpack2bit.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
     ctypes.c_int64]
+_lib.gather_groups.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_int64]
 
 
 def bed_translate(raw: np.ndarray, inverse: bool = False) -> np.ndarray:
@@ -70,3 +74,19 @@ def unpack2bit(packed: np.ndarray, n: int) -> np.ndarray:
     out = np.empty((rows, n), dtype=np.int8)
     _lib.unpack2bit(packed.ctypes.data, out.ctypes.data, rows, w, n)
     return out
+
+
+def gather_groups(packed: np.ndarray, starts: np.ndarray, g: int,
+                  out: np.ndarray) -> None:
+    """Copy len(starts) groups of g consecutive rows (wrapping at L) of a
+    C-contiguous packed (L, W) matrix into out (len(starts)*g, Wp>=W),
+    threaded memcpy. Columns [W, Wp) of `out` are left untouched."""
+    l, w = packed.shape
+    wp = out.shape[1]
+    if (not packed.flags.c_contiguous or not out.flags.c_contiguous
+            or out.shape[0] != len(starts) * g or wp < w):
+        raise ValueError("gather_groups: bad buffer shapes/contiguity")
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    _lib.gather_groups(packed.ctypes.data, l, w,
+                       starts.ctypes.data, len(starts), g,
+                       out.ctypes.data, wp)

@@ -43,11 +43,12 @@ struct Lut {
 };
 const Lut kLut;
 
-void parallel_for(int64_t total, const std::function<void(int64_t, int64_t)>& fn) {
+void parallel_for(int64_t total, const std::function<void(int64_t, int64_t)>& fn,
+                  int64_t serial_below = (1 << 20)) {
   const unsigned hw = std::thread::hardware_concurrency();
   const int nthreads =
       static_cast<int>(hw < kMaxThreads ? (hw ? hw : 1) : kMaxThreads);
-  if (nthreads <= 1 || total < (1 << 20)) {
+  if (nthreads <= 1 || total < serial_below) {
     fn(0, total);
     return;
   }
@@ -101,6 +102,27 @@ void pack2bit(const int8_t* src, uint8_t* dst, int64_t rows, int64_t n) {
       }
     }
   });
+}
+
+// Gather ng groups of g consecutive rows (wrapping at l) from a packed
+// (l x w) matrix into a (ng*g x wp) batch buffer, wp >= w; columns
+// [w, wp) of dst are left untouched (caller owns the padding bytes).
+// This is the out-of-core streaming sampler's hot host loop
+// (svi/stream.BatchStream): ~1 GB of row copies per minibatch at
+// biobank shapes, memcpy-bound across threads.
+void gather_groups(const uint8_t* src, int64_t l, int64_t w,
+                   const int64_t* starts, int64_t ng, int64_t g,
+                   uint8_t* dst, int64_t wp) {
+  parallel_for(ng, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t s = starts[i];
+      for (int64_t r = 0; r < g; ++r) {
+        const int64_t row = (s + r) % l;
+        std::memcpy(dst + (i * g + r) * wp, src + row * w,
+                    static_cast<size_t>(w));
+      }
+    }
+  }, /*serial_below=*/2);
 }
 
 // Unpack 2-bit bytes (rows x w) into int8 genotypes (rows x n).

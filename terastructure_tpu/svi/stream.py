@@ -57,9 +57,22 @@ class BatchStream:
         g = cfg.snp_group
         self.g = g if (g > 1 and self.b % g == 0) else 1
         # Block copies release the GIL; at biobank W a batch is ~1 GB of
-        # host memcpy, so fan the group copies over a few threads.
+        # host memcpy, so fan the group copies over a few threads — the
+        # native threaded memcpy core when built (reference-style C++
+        # runtime component, native/bedops.cpp gather_groups), a numpy
+        # thread pool otherwise.
+        self._native = None
+        if self.g > 1 and getattr(packed_host, "flags", None) is not None \
+                and packed_host.flags.c_contiguous:
+            try:
+                from terastructure_tpu import native
+
+                self._native = native.gather_groups
+            except ImportError:
+                pass
         self._pool = (ThreadPoolExecutor(max_workers=4)
-                      if self.g >= 8 and self.b * self.wp >= (64 << 20)
+                      if self._native is None and self.g >= 8
+                      and self.b * self.wp >= (64 << 20)
                       else None)
         # Ping-pong batch buffers (double-buffered prefetch => at most
         # two live batches): the 0xFF padding columns are written once.
@@ -92,6 +105,8 @@ class BatchStream:
         if g == 1:
             # single fancy-index gather (memmap reads only touched rows)
             buf[:, :w] = self.packed[starts]
+        elif self._native is not None:
+            self._native(self.packed, starts.astype(np.int64), g, buf)
         elif self._pool is None:
             # contiguous groups with wraparound — uniform per-SNP marginal
             self._fill_groups(buf, starts, 0, len(starts))

@@ -38,3 +38,16 @@ def test_unpack_bounds_check():
     p = np.zeros((2, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="exceeds capacity"):
         native.unpack2bit(p, 13)
+
+
+def test_gather_groups_matches_numpy():
+    native = pytest.importorskip("terastructure_tpu.native")
+    rng = np.random.default_rng(0)
+    l, w, wp, g = 37, 13, 16, 4
+    packed = rng.integers(0, 256, size=(l, w), dtype=np.uint8)
+    starts = rng.integers(0, l, size=6).astype(np.int64)
+    out = np.full((len(starts) * g, wp), 0xAB, dtype=np.uint8)
+    native.gather_groups(packed, starts, g, out)
+    want = np.stack([packed[(s + r) % l] for s in starts for r in range(g)])
+    np.testing.assert_array_equal(out[:, :w], want)
+    assert (out[:, w:] == 0xAB).all()   # padding untouched
