@@ -9,16 +9,21 @@ Two fits at N=1,000,448 individuals (W=250,112 bytes, lane-aligned), K=10:
               minibatch) runs at full device speed. This is the per-chip
               compute regime of config #5 (BASELINE.json:10) — at 1M x 1M
               the SNP axis shards across chips, so per-chip L is
-              L_total/n_chips and N stays 1M on every chip.
+              L_total/n_chips and N stays 1M on every chip. The matrix is
+              simulated AND eval-carved on device
+              (simulate_packed_device_resident + carve_eval_device) — it
+              never crosses the host boundary, which through the axon
+              tunnel would dominate the run.
   streaming — L=100,000 SNPs: the 25 GB packed matrix exceeds HBM and
               stays host-side (svi/stream.py); double-buffered host->HBM
               batches. Exercises the out-of-core path the full 250 GB
-              config #5 would use on a small pod.
+              config #5 would use on a small pod. Simulation runs on
+              device then spills to a /tmp memmap cache (one-time d2h).
 
 Simulation runs ON DEVICE (the host PSD draw at this scale costs hours;
-the MXU draw is minutes) and is cached with the carved eval sets under
-/tmp. Bandwidth probes (h2d, d2h) run first — through the axon tunnel
-these are the numbers that decide feasibility, so they are recorded.
+the MXU draw is minutes). Bandwidth probes (h2d, d2h) run first —
+through the axon tunnel these are the numbers that decide feasibility,
+so they are recorded.
 
 axon rules: one process, run once in background, generous timeout.
 Prints one JSON document.
@@ -108,16 +113,6 @@ def load_or_build(seed):
     return packed, ents, theta, sim_s
 
 
-def subset_entries(ents, l_max):
-    from terastructure_tpu.data.dataset import EntrySet
-
-    out = {}
-    for s, e in ents.items():
-        m = e.snp_idx < l_max
-        out[s] = EntrySet(e.ind_idx[m], e.snp_idx[m], e.x[m])
-    return out
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps-res", type=int, default=2000)
@@ -167,14 +162,11 @@ def main():
     del d, buf
     log("bandwidth:", out)
 
-    packed, ents, theta, sim_s = load_or_build(args.seed)
-    out["sim_s"] = round(sim_s, 1)
-
-    def run(cfg, data, tag, steps, stream):
+    def run(cfg, data, tag, steps, stream, packed_dev=None, theta=None):
         meter = StepMeter(cfg.batch_size)
         t0 = time.time()
         res = fit(cfg.replace(max_steps=steps), data, stream=stream,
-                  callback=meter)
+                  packed=packed_dev, callback=meter)
         th = np.asarray(psd.theta_mean(res.state.gamma))[:N]
         out[tag] = dict(
             l=cfg.l, steps=res.steps, converged=res.converged,
@@ -187,19 +179,38 @@ def main():
         log(tag, out[tag])
 
     if not args.skip_resident:
-        pk_res = np.array(packed[:L_RES])          # 8.2 GB host copy
+        from terastructure_tpu.data.dataset import carve_eval_device
+        from terastructure_tpu.data.simulate import (
+            simulate_packed_device_resident)
+
+        t0 = time.time()
+
+        def prog(j, total):
+            if j % (256 * 16) == 0:
+                log(f"sim-res {j}/{total} ({time.time()-t0:.0f}s)")
+
+        pk_dev, theta_res = simulate_packed_device_resident(
+            N, L_RES, K, seed=args.seed, progress=prog)
+        pk_dev, val, held, pool, eval_rows = carve_eval_device(
+            pk_dev, N, validation_frac=0.005, heldout_frac=0.005,
+            seed=args.seed, max_eval_entries=200_000, eval_snp_pool=2048)
+        out["sim_res_s"] = round(time.time() - t0, 1)
+        log("resident sim+carve done:", out["sim_res_s"], "s")
         data_res = GenotypeData(
-            n=N, l=L_RES, packed=pk_res,
-            **subset_entries(ents, L_RES))
+            n=N, l=L_RES, packed=pk_dev, validation=val, heldout=held,
+            eval_row_snps=pool, eval_rows_full=eval_rows)
         cfg = SVIConfig(n=N, l=L_RES, k=K, batch_size=min(4096, L_RES // 2),
                         rfreq=100,
                         seed=args.seed, kernel="pallas",
                         lambda_mode="local", stats_approx_div=True,
                         dma_gather_min_l=16384)
-        run(cfg, data_res, "resident_1Mx32K", args.steps_res, False)
-        del pk_res, data_res
+        run(cfg, data_res, "resident_1Mx32K", args.steps_res, False,
+            packed_dev=pk_dev, theta=theta_res)
+        del pk_dev, data_res, eval_rows
 
     if not args.skip_stream:
+        packed, ents, theta, sim_s = load_or_build(args.seed)
+        out["sim_s"] = round(sim_s, 1)
         data_str = GenotypeData(
             n=N, l=L_STREAM, packed=packed, **ents)
         cfg = SVIConfig(n=N, l=L_STREAM, k=K,
@@ -208,7 +219,8 @@ def main():
                         seed=args.seed, kernel="pallas",
                         lambda_mode="local", stats_approx_div=True,
                         snp_group=64)
-        run(cfg, data_str, "stream_1Mx100K", args.steps_str, True)
+        run(cfg, data_str, "stream_1Mx100K", args.steps_str, True,
+            theta=theta)
 
     print(json.dumps(out, indent=1))
 

@@ -152,6 +152,113 @@ def _carve_entries(packed: np.ndarray, n: int, l: int, n_val: int,
     return validation, heldout
 
 
+def carve_eval_device(packed_dev, n: int, *, validation_frac: float = 0.005,
+                      heldout_frac: float = 0.005, seed: int = 0,
+                      max_eval_entries: Optional[int] = None,
+                      eval_snp_pool: int = 2048):
+    """Eval-set carve for a DEVICE-resident packed matrix.
+
+    Counterpart of GenotypeData.from_packed for matrices that were
+    simulated (or assembled) directly on device and must not round-trip
+    to host (simulate_packed_device_resident): entry lookups run on
+    device, only the (small) entry index/value arrays and candidate masks
+    cross to host, and the MISSING recode is one donated in-place
+    scatter-OR. Entries are always restricted to a SNP pool (local-mode
+    eval cost is O(pool * N); see _carve_entries).
+
+    Returns (packed_dev, validation, heldout, pool, eval_rows) where
+    pool is the sorted (S,) int32 eval-SNP pool and eval_rows the
+    post-recode device (S, W) rows (feed both to GenotypeData's
+    eval_row_snps / eval_rows_full so 'local' lambda-mode scoring never
+    touches the full matrix on host).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    l, w = packed_dev.shape
+    if w != packed_width(n):
+        raise ValueError(f"packed width {w} != ceil({n}/4)")
+
+    @jax.jit
+    def _lookup_dev(packed, i, j):
+        byte = packed[j, i >> 2].astype(jnp.int32)
+        return (byte >> (2 * (i & 3))) & 3
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _mask_dev(packed, jj, bb, mm):
+        return packed.at[jj, bb].set(packed[jj, bb] | mm)
+
+    rng = np.random.default_rng(seed + 1_000_003)
+    pool = np.sort(rng.choice(l, size=min(eval_snp_pool, l),
+                              replace=False).astype(np.int64))
+
+    def lookup(i, j):
+        return np.asarray(_lookup_dev(
+            packed_dev, jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32)))
+
+    # Missing-rate probe (sampled, as _missing_rate does at biobank scale).
+    probe = 1 << 20
+    miss_rate = float((lookup(rng.integers(0, n, size=probe),
+                              rng.integers(0, l, size=probe)) == MISSING
+                       ).mean())
+    nnz = int(n * l * (1.0 - miss_rate))
+    cap = (GenotypeData.MAX_EVAL_ENTRIES if max_eval_entries is None
+           else max_eval_entries)
+    n_val = min(int(round(validation_frac * nnz)), cap)
+    n_held = min(int(round(heldout_frac * nnz)), cap)
+    want = n_val + n_held
+    if not want:
+        return packed_dev, None, None, pool.astype(np.int32), None
+
+    ii = np.empty(0, np.int64)
+    stall = 0
+    while len(ii) < want and stall < 3:
+        m = int((want - len(ii) + 1024) / max(1.0 - miss_rate, 1e-6) * 1.2)
+        ci = rng.integers(0, n, size=m)
+        cj = pool[rng.integers(0, len(pool), size=m)]
+        ok = lookup(ci, cj) != MISSING
+        cand = np.concatenate([ii, cj[ok] * np.int64(n) + ci[ok]])
+        new = np.unique(cand)
+        stall = stall + 1 if len(new) == len(ii) else 0
+        ii = new
+    if len(ii) < want:
+        log.warning("device eval carve: only %d distinct non-missing "
+                    "entries (requested %d); truncating", len(ii), want)
+        n_val = int(round(len(ii) * n_val / want))
+        n_held = len(ii) - n_val
+        want = len(ii)
+    ii = rng.permutation(ii)[:want]
+    obs_j = (ii // n).astype(np.int32)
+    obs_i = (ii % n).astype(np.int32)
+    vals = lookup(obs_i, obs_j).astype(np.int8)
+
+    # OR-combine masks per touched byte on host (entries sharing a byte
+    # merge), then one donated in-place scatter-OR on device.
+    ib = obs_i >> 2
+    m8 = (np.uint8(3) << (2 * (obs_i & 3)).astype(np.uint8))
+    bkey = obs_j.astype(np.int64) * w + ib
+    order = np.argsort(bkey, kind="stable")
+    bkey_s, m8_s = bkey[order], m8[order]
+    starts = np.flatnonzero(np.r_[True, bkey_s[1:] != bkey_s[:-1]])
+    mm = np.bitwise_or.reduceat(m8_s, starts)
+    ub = bkey_s[starts]
+    packed_dev = _mask_dev(packed_dev,
+                           jnp.asarray((ub // w).astype(np.int32)),
+                           jnp.asarray((ub % w).astype(np.int32)),
+                           jnp.asarray(mm))
+
+    def make(sel):
+        return EntrySet(ind_idx=obs_i[sel], snp_idx=obs_j[sel], x=vals[sel])
+
+    validation = make(slice(0, n_val)) if n_val else None
+    heldout = make(slice(n_val, want)) if n_held else None
+    eval_rows = jax.jit(lambda p, q: p[q])(
+        packed_dev, jnp.asarray(pool.astype(np.int32)))
+    return packed_dev, validation, heldout, pool.astype(np.int32), eval_rows
+
+
 @dataclasses.dataclass
 class GenotypeData:
     """Packed training matrix + eval sets. n individuals, l SNPs.

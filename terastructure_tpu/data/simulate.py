@@ -88,7 +88,7 @@ def simulate_packed(n, l, k, **kw):
 
 
 def simulate_packed_device(n, l, k, *, seed: int = 0,
-                           missing_frac: float = 0.0, chunk: int = 256,
+                           missing_frac: float = 0.0, chunk: int = 0,
                            progress=None):
     """Device-side PSD draw -> (packed (l, ceil(n/4)) uint8 HOST, theta).
 
@@ -107,6 +107,11 @@ def simulate_packed_device(n, l, k, *, seed: int = 0,
 
     if n % 4:
         raise ValueError("simulate_packed_device requires n % 4 == 0")
+    if chunk <= 0:
+        # Adaptive: the chunk materializes a handful of (C, N) f32/u32
+        # temps on device, so bound C*N*4 to ~256 MB each (N=1M OOMed a
+        # 16 GB v5e at the old fixed C=256).
+        chunk = int(max(8, min(256, (1 << 28) // (4 * n))))
     rng = np.random.default_rng(seed)
     dominant = rng.integers(0, k, size=n)
     conc = np.full((n, k), 0.2)
@@ -122,11 +127,14 @@ def simulate_packed_device(n, l, k, *, seed: int = 0,
     @jax.jit
     def sim_chunk(theta_d, beta, key):
         p = jnp.clip(beta @ theta_d.T, 0.0, 1.0)          # (C, N)
-        k1, k2, k3 = jax.random.split(key, 3)
-        x = ((jax.random.uniform(k1, p.shape, jnp.float32) < p)
-             .astype(jnp.int32)
-             + (jax.random.uniform(k2, p.shape, jnp.float32) < p)
-             .astype(jnp.int32))
+        k1, k3 = jax.random.split(key)
+        # Binomial(2, p) by inverse CDF from ONE uniform (halves the
+        # (C, N) u32 bit temps vs two Bernoulli draws — the temps are
+        # what bounds the chunk size): x = [u >= (1-p)^2] + [u >= 1-p^2].
+        u = jax.random.uniform(k1, p.shape, jnp.float32)
+        q0 = (1.0 - p) * (1.0 - p)
+        x = ((u >= q0).astype(jnp.int32)
+             + (u >= 1.0 - p * p).astype(jnp.int32))
         if missing_frac > 0:
             u3 = jax.random.uniform(k3, p.shape, jnp.float32)
             x = jnp.where(u3 < missing_frac, 3, x)
@@ -144,6 +152,75 @@ def simulate_packed_device(n, l, k, *, seed: int = 0,
         out = sim_chunk(theta_d, jax.device_put(beta),
                         jax.random.fold_in(key, j0))
         packed[j0:j1] = np.asarray(out)[: j1 - j0]
+        if progress is not None:
+            progress(j1, l)
+    return packed, theta
+
+
+def simulate_packed_device_resident(n, l, k, *, seed: int = 0,
+                                    missing_frac: float = 0.0, chunk: int = 0,
+                                    progress=None):
+    """Device-side PSD draw whose packed matrix STAYS ON DEVICE.
+
+    Same generative draw as simulate_packed_device (identical stream for
+    the same seed/chunk), but each chunk is written into a preallocated
+    device (l, n//4) uint8 buffer with a donated dynamic_update_slice —
+    no host round trip. For shapes whose packed matrix fits HBM but whose
+    host<->device transfer is prohibitive (e.g. an 8 GB matrix through a
+    slow tunnel): returns (packed jax.Array (l, w) uint8, theta (n, k)
+    f32 host).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    if n % 4:
+        raise ValueError("simulate_packed_device requires n % 4 == 0")
+    if chunk <= 0:
+        chunk = int(max(8, min(256, (1 << 28) // (4 * n))))
+    chunk = min(chunk, l)
+    rng = np.random.default_rng(seed)
+    dominant = rng.integers(0, k, size=n)
+    conc = np.full((n, k), 0.2)
+    conc[np.arange(n), dominant] = 5.0
+    theta = np.empty((n, k), np.float32)
+    for i in range(0, n, 1 << 16):
+        sl = slice(i, min(i + (1 << 16), n))
+        g = rng.gamma(conc[sl], 1.0)
+        theta[sl] = (g / g.sum(1, keepdims=True)).astype(np.float32)
+    theta_d = jax.device_put(theta)
+    w = n // 4
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def sim_chunk_into(packed, theta_d, beta, key, j0):
+        p = jnp.clip(beta @ theta_d.T, 0.0, 1.0)          # (C, N)
+        k1, k3 = jax.random.split(key)
+        u = jax.random.uniform(k1, p.shape, jnp.float32)
+        q0 = (1.0 - p) * (1.0 - p)
+        x = ((u >= q0).astype(jnp.int32)
+             + (u >= 1.0 - p * p).astype(jnp.int32))
+        if missing_frac > 0:
+            u3 = jax.random.uniform(k3, p.shape, jnp.float32)
+            x = jnp.where(u3 < missing_frac, 3, x)
+        q = x.reshape(-1, w, 4)
+        rows = (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4)
+                | (q[..., 3] << 6)).astype(jnp.uint8)
+        return jax.lax.dynamic_update_slice(packed, rows, (j0, 0))
+
+    packed = jnp.full((l, w), 0xFF, jnp.uint8)   # padding rows = MISSING
+    key = jax.random.PRNGKey(seed)
+    for j0 in range(0, l, chunk):
+        j1 = min(j0 + chunk, l)
+        beta = np.clip(rng.beta(1, 1, size=(chunk, k)), 1e-4,
+                       1 - 1e-4).astype(np.float32)
+        # Tail chunk: clamp the write origin so the full-chunk rows stay
+        # in range; overlapping rows are simply overwritten with the tail
+        # chunk's draw (valid PSD rows either way).
+        packed = sim_chunk_into(
+            packed, theta_d, jax.device_put(beta),
+            jax.random.fold_in(key, j0),
+            jnp.int32(min(j0, l - chunk)))
         if progress is not None:
             progress(j1, l)
     return packed, theta

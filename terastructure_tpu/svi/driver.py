@@ -107,9 +107,18 @@ def fit(
     def _eval_rows(uniq):
         """Full-width packed rows of the unique eval SNPs."""
         if data.eval_rows_full is not None:
-            pos = np.searchsorted(data.eval_row_snps, uniq)
-            if not np.array_equal(np.asarray(data.eval_row_snps)[pos], uniq):
+            snps = np.asarray(data.eval_row_snps)
+            pos = np.searchsorted(snps, uniq)
+            if not np.array_equal(snps[pos], uniq):
                 raise ValueError("eval entry SNPs missing from eval_rows_full")
+            if isinstance(data.eval_rows_full, jax.Array):
+                # Device-resident rows (carve_eval_device): gather on
+                # device, never round-trip to host. Width must already be
+                # kernel-aligned.
+                if data.eval_rows_full.shape[1] % 128:
+                    raise ValueError("device eval_rows_full width must be "
+                                     "a multiple of 128 bytes")
+                return data.eval_rows_full[jnp.asarray(pos)]
             return _pad_width(np.asarray(data.eval_rows_full)[pos])
         if data.is_local_slice:
             raise ValueError(

@@ -428,7 +428,8 @@ def make_entry_loglik_recompute(cfg: SVIConfig, eval_rows, row_of_entry,
     # Device-put ONCE and pass as jit arguments — closing over them
     # captures multi-GB constants in the lowered program (observed
     # 2.17 GB at N=100K), which crawls through the remote compiler.
-    eval_rows = put(np.asarray(eval_rows))
+    if not isinstance(eval_rows, jax.Array):
+        eval_rows = put(np.asarray(eval_rows))
     row_of_entry = put(np.asarray(row_of_entry))
     ind_idx = put(np.asarray(ind_idx))
     x = put(np.asarray(x))

@@ -99,3 +99,104 @@ def test_simulate_packed_device_moments():
     # structured theta should vary individual genotype means with the
     # dominant component (not all ~equal): check spread is non-trivial
     assert np.nanstd(m) > 0.01
+
+
+def test_simulate_packed_device_resident_parity():
+    """Device-resident simulator reproduces the host-spill variant's
+    stream bit-for-bit when l % chunk == 0 (same rng/key folding)."""
+    import jax
+
+    from terastructure_tpu.data.simulate import (
+        simulate_packed_device, simulate_packed_device_resident)
+
+    n, l, k = 64, 128, 3
+    pk_host, th_host = simulate_packed_device(
+        n, l, k, seed=7, chunk=32, missing_frac=0.05)
+    pk_dev, th_dev = simulate_packed_device_resident(
+        n, l, k, seed=7, chunk=32, missing_frac=0.05)
+    assert isinstance(pk_dev, jax.Array)
+    np.testing.assert_array_equal(np.asarray(pk_dev), pk_host)
+    np.testing.assert_array_equal(th_dev, th_host)
+
+
+def test_simulate_packed_device_resident_tail():
+    """l not a multiple of chunk: the clamped tail write still leaves
+    every row a valid PSD draw (codes 0/1/2, no stray MISSING)."""
+    from terastructure_tpu.data.pack import unpack2bit
+    from terastructure_tpu.data.simulate import (
+        simulate_packed_device_resident)
+
+    n, l, k = 64, 100, 3
+    pk_dev, theta = simulate_packed_device_resident(n, l, k, seed=1,
+                                                    chunk=32)
+    pk = np.asarray(pk_dev)
+    assert pk.shape == (l, n // 4)
+    x = unpack2bit(pk, n)
+    assert set(np.unique(x)) <= {0, 1, 2}
+    np.testing.assert_allclose(theta.sum(1), 1.0, rtol=1e-5)
+
+
+def test_carve_eval_device_semantics():
+    """Device eval carve: entries come from the pool, original values
+    preserved, training copies recoded MISSING, eval_rows match the
+    post-carve matrix."""
+    from terastructure_tpu.data.dataset import (
+        GenotypeData, carve_eval_device)
+    from terastructure_tpu.data.pack import unpack2bit
+    from terastructure_tpu.data.simulate import (
+        simulate_packed_device_resident)
+    from terastructure_tpu.models.psd import MISSING as M
+
+    n, l = 256, 512
+    pk_dev, _ = simulate_packed_device_resident(n, l, 3, seed=5,
+                                                missing_frac=0.05)
+    before = np.asarray(pk_dev)                # host copy pre-carve
+    pk_dev, val, held, pool, rows = carve_eval_device(
+        pk_dev, n, validation_frac=0.01, heldout_frac=0.01, seed=5,
+        eval_snp_pool=64)
+    assert len(pool) == 64 and (np.diff(pool) > 0).all()
+    after = np.asarray(pk_dev)
+    x_before = unpack2bit(before, n)           # (l, n)
+    x_after = unpack2bit(after, n)
+    seen = set()
+    for es in (val, held):
+        assert es is not None and len(es) > 0
+        assert np.isin(es.snp_idx, pool).all()
+        assert set(np.unique(es.x)) <= {0, 1, 2}
+        np.testing.assert_array_equal(es.x, x_before[es.snp_idx,
+                                                     es.ind_idx])
+        assert (x_after[es.snp_idx, es.ind_idx] == M).all()
+        pairs = set(zip(es.ind_idx.tolist(), es.snp_idx.tolist()))
+        assert not (pairs & seen), "validation/heldout overlap"
+        seen |= pairs
+    # untouched entries identical
+    mask = np.ones((l, n), bool)
+    for es in (val, held):
+        mask[es.snp_idx, es.ind_idx] = False
+    np.testing.assert_array_equal(x_before[mask], x_after[mask])
+    # eval rows are the post-carve pool rows
+    np.testing.assert_array_equal(np.asarray(rows), after[pool])
+
+
+def test_fit_device_resident():
+    """End-to-end fit on a device-resident GenotypeData (packed and
+    eval rows are jax.Arrays; no host densification anywhere)."""
+    from terastructure_tpu.config import SVIConfig
+    from terastructure_tpu.data.dataset import (
+        GenotypeData, carve_eval_device)
+    from terastructure_tpu.data.simulate import (
+        simulate_packed_device_resident)
+    from terastructure_tpu.svi import fit
+
+    n, l, k = 512, 256, 3                      # width 128 -> kernel-aligned
+    pk_dev, _ = simulate_packed_device_resident(n, l, k, seed=0)
+    pk_dev, val, held, pool, rows = carve_eval_device(
+        pk_dev, n, seed=0, eval_snp_pool=64)
+    data = GenotypeData(n=n, l=l, packed=pk_dev, validation=val,
+                        heldout=held, eval_row_snps=pool,
+                        eval_rows_full=rows)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=32, rfreq=25, max_steps=50,
+                    lambda_mode="local")
+    res = fit(cfg, data, packed=pk_dev)
+    assert np.isfinite(res.validation_ll)
+    assert res.heldout_ll is None or np.isfinite(res.heldout_ll)
