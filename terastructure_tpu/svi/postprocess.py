@@ -28,7 +28,12 @@ def solve_lambda_blocks(cfg: SVIConfig, u, packed_rows, *,
 
     u: (N', K) where N' = 4 * packed_rows.shape[1] (caller pads);
     packed_rows: (S, W) uint8. Returns lamb (S, K, 2) f32 (jnp).
-    Rows are processed in fixed-size blocks under one jitted lax.map.
+
+    Rows are processed one fixed-size block at a time through a single
+    jitted block solver — NOT by stacking all blocks first: packed_rows
+    may be an HBM-resident biobank matrix (reshuffling it would double
+    HBM) or a host memmap larger than HBM (each block is transferred on
+    demand). Only one (block, W) slice is live per iteration.
 
     sub_key enables the big-N inner-loop subsample (cfg.local_sub_n, see
     engine.step_core_packed): the coordinate-ascent ITERATIONS run on a
@@ -39,14 +44,6 @@ def solve_lambda_blocks(cfg: SVIConfig, u, packed_rows, *,
     n = u.shape[0]
     s, w = packed_rows.shape
     nblocks = (s + block - 1) // block
-    pad = nblocks * block - s
-    if pad:
-        packed_rows = jnp.concatenate(
-            [jnp.asarray(packed_rows),
-             jnp.full((pad, w), 0xFF, jnp.uint8)])
-    else:
-        packed_rows = jnp.asarray(packed_rows)
-    blocks = packed_rows.reshape(nblocks, block, w)
 
     dtype = jnp.dtype(cfg.compute_dtype)
     lamb0 = jnp.stack(
@@ -66,8 +63,10 @@ def solve_lambda_blocks(cfg: SVIConfig, u, packed_rows, *,
     if use_sub:
         idx_w = jax.random.choice(sub_key, wp, (sub_w,), replace=False)
         u_sub = u.reshape(wp, 4, -1)[idx_w].reshape(4 * sub_w, -1)
+    else:
+        idx_w = u_sub = None
 
-    def solve_block(rows):
+    def solve_block(rows, u, lamb0, u_sub=None, idx_w=None):
         if use_pallas:
             from terastructure_tpu.ops import stats_pallas as pk
 
@@ -107,8 +106,18 @@ def solve_lambda_blocks(cfg: SVIConfig, u, packed_rows, *,
             axis=-1,
         )
 
-    out = jax.lax.map(solve_block, blocks)        # (nblocks, block, K, 2)
-    return out.reshape(-1, cfg.k, 2)[:s]
+    solve = jax.jit(solve_block)
+    outs = []
+    for i in range(nblocks):
+        lo = i * block
+        hi = min(lo + block, s)
+        rows = jnp.asarray(packed_rows[lo:hi])
+        if hi - lo < block:
+            rows = jnp.concatenate(
+                [rows, jnp.full((block - (hi - lo), w), 0xFF, jnp.uint8)])
+        outs.append(solve(rows, u, lamb0, u_sub, idx_w))
+    out = outs[0] if nblocks == 1 else jnp.concatenate(outs, axis=0)
+    return out[:s]
 
 
 def compute_lambda(cfg: SVIConfig, gamma, packed, *, block: int = 1024):
