@@ -118,3 +118,23 @@ def test_bed_to_packed_cache_roundtrip(tmp_path):
                                     validation_frac=0.02, heldout_frac=0.02)
     assert open(bed, "rb").read() == before
     assert data.validation is not None and len(data.validation) > 0
+
+def test_solve_lambda_blocks_memmap_input(tmp_path):
+    """solve_lambda_blocks consumes a host memmap block-at-a-time and
+    matches the device-array result (incl. a ragged final block)."""
+    from terastructure_tpu.ops import stats_dense as ops
+    from terastructure_tpu.svi.postprocess import solve_lambda_blocks
+
+    _, data = _data(n=120, l=100)
+    cfg = _cfg(data)
+    u = ops.exp_elog_theta(engine.init_state(cfg).gamma[: data.n] + 0.3)
+    mm = np.memmap(str(tmp_path / "pk.u8"), dtype=np.uint8, mode="w+",
+                   shape=data.packed.shape)
+    mm[:] = np.asarray(data.packed)
+    mm.flush()
+    lam_dev = solve_lambda_blocks(cfg, u, jnp.asarray(data.packed), block=32)
+    lam_mm = solve_lambda_blocks(cfg, u, np.memmap(
+        str(tmp_path / "pk.u8"), dtype=np.uint8, mode="r",
+        shape=data.packed.shape), block=32)
+    np.testing.assert_allclose(np.asarray(lam_mm), np.asarray(lam_dev),
+                               rtol=1e-6, atol=1e-6)
