@@ -168,14 +168,18 @@ def main():
         res = fit(cfg.replace(max_steps=steps), data, stream=stream,
                   packed=packed_dev, callback=meter)
         th = np.asarray(psd.theta_mean(res.state.gamma))[:N]
+        wall = time.time() - t0
+        rate = meter.snp_updates_per_s
+        if not np.isfinite(rate):   # <2 meter callbacks (short runs):
+            rate = res.steps * cfg.batch_size / wall  # compile-inclusive
         out[tag] = dict(
             l=cfg.l, steps=res.steps, converged=res.converged,
             validation_ll=round(res.validation_ll, 6),
             heldout_ll=(round(res.heldout_ll, 6)
                         if res.heldout_ll else None),
             theta_mae_vs_truth=round(mean_abs_theta_error(th, theta), 5),
-            snp_updates_per_s=round(meter.snp_updates_per_s, 1),
-            wall_s=round(time.time() - t0, 1))
+            snp_updates_per_s=round(rate, 1),
+            wall_s=round(wall, 1))
         log(tag, out[tag])
 
     if not args.skip_resident:
