@@ -64,16 +64,15 @@ def main():
     for b in (1024, 4096):
         base = SVIConfig(n=n, l=l, k=k, batch_size=b, seed=0,
                          kernel="fused", lambda_mode="local")
-        # ACAT_VMEM_BUDGET is read at trace time, not a static jit arg —
+        # ACAT_OVERRIDE is read at trace time, not a static jit arg —
         # clear the jit cache around the toggle or the later variants
         # reuse the first trace.
-        orig_budget = fused_step.ACAT_VMEM_BUDGET
-        fused_step.ACAT_VMEM_BUDGET = 0          # disable pre-decode
+        fused_step.ACAT_OVERRIDE = False         # disable pre-decode
         fused_step.fused_local_solve.clear_cache()
         try:
             run(base, f"b{b}_r2base")
         finally:
-            fused_step.ACAT_VMEM_BUDGET = orig_budget
+            fused_step.ACAT_OVERRIDE = None
             fused_step.fused_local_solve.clear_cache()
         run(base, f"b{b}_acat")
         run(base.replace(stats_approx_div=True), f"b{b}_acat_approx")
