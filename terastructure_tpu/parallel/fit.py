@@ -28,16 +28,43 @@ def fit_sharded(
     data: GenotypeData,
     *,
     mesh: Optional[object] = None,
+    stream: bool = False,
     **fit_kw,
 ) -> driver.FitResult:
     """fit() over a (ind x snp) device mesh (defaults to all devices on
-    the 'snp' axis; set cfg.ind_shards/cfg.snp_shards to control)."""
+    the 'snp' axis; set cfg.ind_shards/cfg.snp_shards to control).
+
+    stream=True keeps the packed matrix HOST-side (ndarray/np.memmap)
+    and double-buffers mesh-sharded minibatches to the devices per step
+    (parallel/stream.py) — the executable path for config #5 shapes
+    whose packed matrix exceeds aggregate HBM. Bit-identical to the
+    resident sharded fit (the host replays the device sample schedule).
+    """
     if mesh is None:
         spec = meshlib.choose_mesh_shape(
             len(jax.devices()), cfg.ind_shards, cfg.snp_shards)
         mesh = meshlib.make_mesh(spec)
-    plan, packed = sharded.prepare(cfg, data, mesh)
     state = fit_kw.pop("state", None)
+
+    if stream:
+        from terastructure_tpu.parallel import stream as pstream
+
+        plan = sharded.make_plan(cfg, mesh)
+        if state is None:
+            state = sharded.init_sharded_state(cfg, plan, mesh)
+        else:
+            state = sharded.shard_state(state, plan, mesh)
+
+        def factory(cfg_, nsteps, l_sample):
+            return pstream.make_sharded_stream_chunk(
+                cfg_, plan, mesh, nsteps,
+                byte_col_offset=data.byte_col_offset)
+
+        return driver.fit(
+            cfg, data, state=state, step_fn_factory=factory, stream=True,
+            **fit_kw)
+
+    plan, packed = sharded.prepare(cfg, data, mesh)
     if state is None:
         state = sharded.init_sharded_state(cfg, plan, mesh)
     else:

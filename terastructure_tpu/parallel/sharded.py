@@ -172,25 +172,22 @@ def _unpack_local(rows, n_local):
     return g.reshape(rows.shape[0], n_local).astype(jnp.int8)
 
 
-def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
-    """Build the shard_map'ed step: (state, packed) -> state.
+class KernelPlan(NamedTuple):
+    """Static kernel/sampling selection for a sharded step — shared by
+    the resident device step AND the host-side streaming sampler, which
+    must replicate the resident sampling branch exactly for the
+    streaming == resident bitwise guarantee."""
+    interpret: bool
+    want_fused: bool
+    use_pk: bool
+    pk_tiles: object        # (tb, tw) or None
+    dma_blocks: bool        # True -> minibatch drawn as b/8 8-row blocks
+    wl: int                 # per-shard byte width
 
-    Kernel selection per shard: when the 'ind' axis is unsharded
-    (ind == 1, the single-host case — individuals shard across *hosts*)
-    the lambda statistics need no cross-shard reduction, so the fused
-    one-kernel-per-step path (ops/fused_step.py) applies whole; with
-    ind > 1 each coordinate-ascent iteration psums over 'ind' and the
-    per-iteration dense path runs. lambda_mode='local' skips the stored
-    lambda gather/scatter entirely (cold start from the prior).
-    """
-    from terastructure_tpu.ops import fused_step
-    from terastructure_tpu.ops import stats_pallas as pk
 
-    b_local = plan.batch_per_shard
-    l_local = plan.l_padded // plan.snp
-    dtype = jnp.dtype(cfg.compute_dtype)
-    psum_ind = functools.partial(jax.lax.psum, axis_name=IND_AXIS)
-    local_mode = cfg.lambda_mode == "local"
+def plan_kernels(cfg: SVIConfig, plan: ShardPlan) -> KernelPlan:
+    from terastructure_tpu.ops import stats_pallas as _pk
+
     interpret = jax.default_backend() != "tpu"
     if cfg.kernel == "fused" and plan.ind > 1:
         raise ValueError(
@@ -206,13 +203,11 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
         cfg.kernel == "fused"
         or (cfg.kernel == "auto" and jax.default_backend() == "tpu")
     )
-
-    wl_static = packed_width(plan.n_padded) // plan.ind
+    wl = packed_width(plan.n_padded) // plan.ind
+    b_local = plan.batch_per_shard
+    l_local = plan.l_padded // plan.snp
     try:
-        pk_tiles = None
-        from terastructure_tpu.ops import stats_pallas as _pk
-
-        pk_tiles = _pk.pick_tiles(b_local, wl_static)
+        pk_tiles = _pk.pick_tiles(b_local, wl)
     except ValueError:
         pk_tiles = None
     use_pk = pk_tiles is not None and (
@@ -220,16 +215,53 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
         or (cfg.kernel in ("auto", "fused")
             and jax.default_backend() == "tpu")
     )
+    dma_blocks = bool(
+        cfg.dma_gather and not interpret and use_pk and not want_fused
+        and l_local >= cfg.dma_gather_min_l
+        and l_local % 8 == 0 and b_local % 128 == 0)
+    return KernelPlan(interpret=interpret, want_fused=want_fused,
+                      use_pk=use_pk, pk_tiles=pk_tiles,
+                      dma_blocks=dma_blocks, wl=wl)
 
+
+def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
+                      streaming: bool = False):
+    """Build the shard_map'ed step: (state, packed) -> state.
+
+    Kernel selection per shard: when the 'ind' axis is unsharded
+    (ind == 1, the single-host case — individuals shard across *hosts*)
+    the lambda statistics need no cross-shard reduction, so the fused
+    one-kernel-per-step path (ops/fused_step.py) applies whole; with
+    ind > 1 each coordinate-ascent iteration psums over 'ind' and the
+    per-iteration dense path runs. lambda_mode='local' skips the stored
+    lambda gather/scatter entirely (cold start from the prior).
+
+    streaming=True returns (state, rows) -> state instead: the minibatch
+    rows arrive pre-gathered from the host (parallel/stream.py), sharded
+    P('snp', 'ind') — shard s's b_local rows were sampled by the host
+    with the SAME threefry schedule the resident step uses on device, so
+    resident and streaming runs are bit-identical (tests/test_stream.py).
+    Requires lambda_mode='local' (nothing SNP-indexed to scatter back).
+    """
+    from terastructure_tpu.ops import fused_step
+    from terastructure_tpu.ops import stats_pallas as pk
+
+    kp = plan_kernels(cfg, plan)
+    b_local = plan.batch_per_shard
+    l_local = plan.l_padded // plan.snp
+    wl_static = kp.wl
+    interpret, want_fused, use_pk, pk_tiles = (
+        kp.interpret, kp.want_fused, kp.use_pk, kp.pk_tiles)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    psum_ind = functools.partial(jax.lax.psum, axis_name=IND_AXIS)
+    local_mode = cfg.lambda_mode == "local"
     kdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
               else jnp.float32)
 
-    def _local_step_pk(gamma_l, lamb_l, packed_l, t, kb, idx, rows=None):
+    def _local_step_pk(gamma_l, lamb_l, rows, t, kb, idx):
         from terastructure_tpu.ops import stats_pallas as pk
 
         tb, tw = pk_tiles
-        if rows is None:
-            rows = packed_l[idx]                        # (B_l, W/I)
         u = ops.exp_elog_theta(gamma_l)                 # (4*W/I, K)
         u_planes = pk.u_to_planes(u)
 
@@ -319,41 +351,22 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
         )
         return gamma_l, lamb_l
 
-    def local_step(gamma_l, lamb_l, packed_l, t, key):
-        # gamma_l: (N/I, K)  lamb_l: (L/S, K, 2)  packed_l: (L/S, W/I)
-        s_idx = jax.lax.axis_index(SNP_AXIS)
-        kb = jax.random.fold_in(jax.random.fold_in(key, t), s_idx)
-        # Per-shard DMA block-gather (same unbiasedness argument as the
-        # single-device engine._sample_rows): the minibatch's local rows
-        # are drawn as b_local/8 uniform 8-row blocks of the SNP shard
-        # and fetched at copy bandwidth. TPU-only; threshold knob is on
-        # the PER-SHARD row count.
-        rows_pre = None
-        if (cfg.dma_gather and not interpret and use_pk and not want_fused
-                and l_local >= cfg.dma_gather_min_l
-                and l_local % 8 == 0 and b_local % 128 == 0):
-            from terastructure_tpu.ops.gather import gather_row_blocks
+    def _solve_from_rows(gamma_l, lamb_l, rows, idx, t, kb):
+        """Everything after the minibatch gather: the local solve, the
+        lambda scatter (stored mode only — idx may be None in local
+        mode) and the gamma natural-gradient update. Shared by the
+        resident step (which samples+gathers on device) and the
+        streaming step (rows pre-gathered by the host)."""
+        wl = rows.shape[1]
 
-            blocks = jax.random.randint(
-                kb, (b_local // 8,), 0, l_local // 8, dtype=jnp.int32)
-            idx = (blocks[:, None] * 8
-                   + jnp.arange(8, dtype=jnp.int32)).reshape(b_local)
-            rows_pre = gather_row_blocks(packed_l, blocks, block=8)
-        else:
-            idx = jax.random.randint(kb, (b_local,), 0, l_local,
-                                     dtype=jnp.int32)
-        wl = packed_l.shape[1]
-
-        if want_fused and fused_step.supports(b_local, wl):
-            rows_f = packed_l[idx]
+        if want_fused and fused_step.supports(b_local, wl, cfg.k, kdtype):
+            rows_f = rows
             u = ops.exp_elog_theta(gamma_l)
             if u.shape[0] != 4 * wl:
                 u = jnp.pad(u, ((0, 4 * wl - u.shape[0]), (0, 0)),
                             constant_values=1.0)
             lamb_init = (jnp.zeros((b_local, cfg.k, 2), jnp.float32)
                          if local_mode else lamb_l[idx])
-            kdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-                      else jnp.float32)
             new_lamb_b, g = fused_step.fused_local_solve(
                 rows_f, pk.u_to_planes(u), lamb_init,
                 local_iters=cfg.local_iters, local_tol=cfg.local_tol,
@@ -379,10 +392,8 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
             # because every shard sees identical psum'ed stats). Big-N
             # iteration subsampling (cfg.local_sub_n) applies per shard
             # with globally-consistent N/Ns scaling.
-            return _local_step_pk(gamma_l, lamb_l, packed_l, t, kb, idx,
-                                  rows=rows_pre)
+            return _local_step_pk(gamma_l, lamb_l, rows, t, kb, idx)
 
-        rows = packed_l[idx]                            # (B_l, W/I)
         xb = _unpack_local(rows, rows.shape[1] * 4)     # (B_l, N/I)
 
         a1, a0 = ops.allele_counts(xb, jnp.float32)
@@ -418,6 +429,62 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
             cfg.alpha_value + scale * gamma_stat
         )
         return gamma_l, lamb_l
+
+    def local_step(gamma_l, lamb_l, packed_l, t, key):
+        # gamma_l: (N/I, K)  lamb_l: (L/S, K, 2)  packed_l: (L/S, W/I)
+        s_idx = jax.lax.axis_index(SNP_AXIS)
+        kb = jax.random.fold_in(jax.random.fold_in(key, t), s_idx)
+        # Per-shard DMA block-gather (same unbiasedness argument as the
+        # single-device engine._sample_rows): the minibatch's local rows
+        # are drawn as b_local/8 uniform 8-row blocks of the SNP shard
+        # and fetched at copy bandwidth. TPU-only; threshold knob is on
+        # the PER-SHARD row count.
+        if kp.dma_blocks:
+            from terastructure_tpu.ops.gather import gather_row_blocks
+
+            blocks = jax.random.randint(
+                kb, (b_local // 8,), 0, l_local // 8, dtype=jnp.int32)
+            idx = (blocks[:, None] * 8
+                   + jnp.arange(8, dtype=jnp.int32)).reshape(b_local)
+            rows = gather_row_blocks(packed_l, blocks, block=8)
+        else:
+            idx = jax.random.randint(kb, (b_local,), 0, l_local,
+                                     dtype=jnp.int32)
+            rows = packed_l[idx]
+        return _solve_from_rows(gamma_l, lamb_l, rows, idx, t, kb)
+
+    if streaming:
+        if not local_mode:
+            raise ValueError("sharded streaming requires "
+                             "lambda_mode='local' (nothing SNP-indexed "
+                             "to scatter back against a host matrix)")
+
+        def local_step_stream(gamma_l, lamb_l, rows_l, t, key):
+            # rows_l: (B/S, W/I) — this shard's slice of the host-
+            # sampled minibatch. kb matches the resident step exactly
+            # (the subsampled big-N solve folds it further on device).
+            s_idx = jax.lax.axis_index(SNP_AXIS)
+            kb = jax.random.fold_in(jax.random.fold_in(key, t), s_idx)
+            return _solve_from_rows(gamma_l, lamb_l, rows_l, None, t, kb)
+
+        sharded_stream = jax.shard_map(
+            local_step_stream,
+            mesh=mesh,
+            in_specs=(
+                meshlib.GAMMA_SPEC, meshlib.LAMB_SPEC, meshlib.PACKED_SPEC,
+                P(), P(),
+            ),
+            out_specs=(meshlib.GAMMA_SPEC, meshlib.LAMB_SPEC),
+            check_vma=False,
+        )
+
+        def step_stream(state: SVIState, rows) -> SVIState:
+            gamma, lamb = sharded_stream(
+                state.gamma, state.lamb, rows, state.t, state.key)
+            return SVIState(gamma=gamma, lamb=lamb, t=state.t + 1,
+                            key=state.key)
+
+        return step_stream
 
     sharded = jax.shard_map(
         local_step,

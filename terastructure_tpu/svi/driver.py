@@ -82,11 +82,13 @@ def fit(
         if multiproc:
             raise ValueError("stream=True is a single-process path; "
                              "use the sharded fit for multi-host")
-        if step_fn_factory is not None or packed is not None:
-            raise ValueError("stream=True supplies its own chunk runner "
-                             "over the host matrix")
+        if packed is not None:
+            raise ValueError("stream=True keeps the host matrix "
+                             "host-side; don't pass a device `packed`")
         packed = data.packed                    # stays host-side
-        factory = stream_mod.make_stream_chunk
+        # the sharded path (parallel.fit_sharded(stream=True)) supplies
+        # its mesh-aware chunk runner; default is the 1-device streamer
+        factory = step_fn_factory or stream_mod.make_stream_chunk
     elif packed is None:
         packed = jax.device_put(_pad_width(np.asarray(data.packed)))
     if state is None:

@@ -138,3 +138,89 @@ def test_solve_lambda_blocks_memmap_input(tmp_path):
         shape=data.packed.shape), block=32)
     np.testing.assert_allclose(np.asarray(lam_mm), np.asarray(lam_dev),
                                rtol=1e-6, atol=1e-6)
+
+
+# ---- sharded streaming (parallel/stream.py): VERDICT r2 item #3 ---------
+
+import pytest  # noqa: E402
+
+needs8 = pytest.mark.skipif(jax.device_count() < 8,
+                            reason="needs 8 (virtual) devices")
+
+
+def _sharded_setup(n=64, l=96, k=3, seed=3, ind=2, snp=4, **cfg_kw):
+    from terastructure_tpu.parallel import mesh as meshlib
+    from terastructure_tpu.parallel import sharded
+
+    theta, _, x = simulate_psd(n, l, k, seed=seed, missing_frac=0.02)
+    data = GenotypeData.from_dense(x, validation_frac=0.02,
+                                   heldout_frac=0.02, seed=seed)
+    base = dict(n=n, l=l, k=k, batch_size=8 * snp, seed=seed,
+                lambda_mode="local", rfreq=50, max_steps=200)
+    base.update(cfg_kw)
+    cfg = SVIConfig(**base)
+    mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=ind, snp=snp))
+    plan = sharded.make_plan(cfg, mesh)
+    return theta, data, cfg, mesh, plan
+
+
+@needs8
+def test_sharded_stream_equals_resident_sharded_bitwise():
+    """The streaming chunk (host-sampled, mesh-sharded batches) must be
+    BIT-IDENTICAL to the resident sharded chunk: the host replays the
+    device threefry schedule, so same rows -> same math -> same gamma."""
+    from terastructure_tpu.parallel import sharded
+    from terastructure_tpu.parallel.stream import make_sharded_stream_chunk
+
+    _, data, cfg, mesh, plan = _sharded_setup()
+    nsteps = 25
+
+    _, packed_dev = sharded.prepare(cfg, data, mesh)
+    st_res = sharded.init_sharded_state(cfg, plan, mesh)
+    chunk_res = sharded.make_sharded_run_chunk(cfg, plan, mesh, nsteps)
+    st_res = chunk_res(st_res, packed_dev)
+
+    st_str = sharded.init_sharded_state(cfg, plan, mesh)
+    chunk_str = make_sharded_stream_chunk(cfg, plan, mesh, nsteps)
+    st_str = chunk_str(st_str, np.asarray(data.packed))
+
+    assert int(st_str.t) == int(st_res.t) == nsteps
+    np.testing.assert_array_equal(np.asarray(st_str.gamma),
+                                  np.asarray(st_res.gamma))
+
+
+@needs8
+def test_sharded_stream_indices_match_device_draw():
+    """ShardedBatchStream.indices reproduces the in-step threefry draw."""
+    from terastructure_tpu.parallel import sharded
+    from terastructure_tpu.parallel.stream import ShardedBatchStream
+
+    _, data, cfg, mesh, plan = _sharded_setup()
+    st = sharded.init_sharded_state(cfg, plan, mesh)
+    bs = ShardedBatchStream(cfg, plan, mesh, np.asarray(data.packed))
+    key_np = np.asarray(jax.device_get(st.key))
+    got = bs.indices(key_np, 7)
+    l_local = plan.l_padded // plan.snp
+    for s in range(plan.snp):
+        kb = jax.random.fold_in(jax.random.fold_in(st.key, 7), s)
+        want = jax.random.randint(kb, (plan.batch_per_shard,), 0, l_local,
+                                  jnp.int32)
+        np.testing.assert_array_equal(got[s], np.asarray(want))
+
+
+@needs8
+def test_fit_sharded_stream_end_to_end():
+    """Turnkey fit_sharded(stream=True): converging fit off a host
+    matrix, heldout finite, lambda materialized at the end."""
+    from terastructure_tpu.parallel import fit_sharded
+
+    theta, data, cfg, mesh, plan = _sharded_setup(
+        n=64, l=256, k=2, seed=6, max_steps=600, rfreq=100)
+    res = fit_sharded(cfg, data, mesh=mesh, stream=True)
+    assert np.isfinite(res.validation_ll)
+    assert res.heldout_ll is not None and np.isfinite(res.heldout_ll)
+    assert np.abs(np.asarray(res.state.lamb[: data.l]) - 1.0).max() > 1.0
+
+    # matches the resident fit_sharded's quality on the same problem
+    res2 = fit_sharded(cfg, data, mesh=mesh)
+    assert abs(res.heldout_ll - res2.heldout_ll) < 0.05
