@@ -215,8 +215,10 @@ def plan_kernels(cfg: SVIConfig, plan: ShardPlan) -> KernelPlan:
         or (cfg.kernel in ("auto", "fused")
             and jax.default_backend() == "tpu")
     )
+    # (interpret-mode runs — CPU tests/dryrun with kernel='pallas' —
+    # exercise the same branch through gather_row_blocks' interpret path)
     dma_blocks = bool(
-        cfg.dma_gather and not interpret and use_pk and not want_fused
+        cfg.dma_gather and use_pk and not want_fused
         and l_local >= cfg.dma_gather_min_l
         and l_local % 8 == 0 and b_local % 128 == 0)
     return KernelPlan(interpret=interpret, want_fused=want_fused,
@@ -446,7 +448,8 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
                 kb, (b_local // 8,), 0, l_local // 8, dtype=jnp.int32)
             idx = (blocks[:, None] * 8
                    + jnp.arange(8, dtype=jnp.int32)).reshape(b_local)
-            rows = gather_row_blocks(packed_l, blocks, block=8)
+            rows = gather_row_blocks(packed_l, blocks, block=8,
+                                     interpret=interpret)
         else:
             idx = jax.random.randint(kb, (b_local,), 0, l_local,
                                      dtype=jnp.int32)

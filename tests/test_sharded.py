@@ -283,3 +283,86 @@ def test_compiled_step_collectives_match_dataflow_model():
     assert ar["bytes"] == gamma + lam_pair, meas
     for kind in ("all-gather", "collective-permute", "reduce-scatter"):
         assert kind not in meas, meas
+
+
+# ---- big-N branches on the CPU mesh (VERDICT r2 item #5) -----------------
+
+
+def test_sharded_bign_subsample_matches_full_solve():
+    """_local_step_pk's local_sub_n iteration-subsample branch (the
+    config-#5 multi-chip hot path) engages on the 8-device CPU mesh with
+    lowered thresholds and is equivalent to the full-N solve: one step's
+    gamma agrees to ~the subsample's MC noise (a wrong N/Ns scale or a
+    broken shard split would show up as O(1) relative error), and a
+    short fit reaches the same validation log-likelihood."""
+    n, l, k = 4096, 64, 3
+    _, _, x = simulate_psd(n, l, k, seed=9)
+    data = GenotypeData.from_dense(x, validation_frac=0.02,
+                                   heldout_frac=0, seed=9)
+    mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=2, snp=4))
+    base = dict(n=n, l=l, k=k, batch_size=32, seed=9, kernel="pallas",
+                lambda_mode="local", local_iters=12, local_tol=1e-7,
+                local_refine_full=True, dma_gather=False)
+    cfg_sub = SVIConfig(**base, local_sub_n=1024)
+    cfg_full = SVIConfig(**base, local_sub_n=0)
+
+    plan = sharded.make_plan(cfg_sub, mesh)
+    # preconditions for the subsample branch at these thresholds
+    wl = sharded.plan_kernels(cfg_sub, plan).wl
+    sub_w = ((cfg_sub.local_sub_n // 4 // plan.ind) // 128) * 128
+    assert sub_w >= 128 and wl >= 4 * sub_w, (sub_w, wl)
+
+    val = data.validation
+    uniq, inv = np.unique(val.snp_idx, return_inverse=True)
+    score = engine.make_entry_loglik_recompute(
+        cfg_full, data.packed[uniq], inv.astype(np.int32),
+        val.ind_idx, val.x)
+
+    one, lls = {}, {}
+    for tag, cfg in (("sub", cfg_sub), ("full", cfg_full)):
+        _, packed = sharded.prepare(cfg, data, mesh)
+        st = sharded.init_sharded_state(cfg, plan, mesh)
+        one[tag] = np.asarray(jax.jit(
+            sharded.make_sharded_step(cfg, plan, mesh))(st, packed).gamma)
+        st = sharded.make_sharded_run_chunk(cfg, plan, mesh, 150)(
+            sharded.init_sharded_state(cfg, plan, mesh), packed)
+        lls[tag] = float(score(st.gamma[:n]))
+    assert np.isfinite(one["sub"]).all() and (one["sub"] > 0).all()
+    # per-step: same update up to subsample MC noise (scale errors are O(1))
+    np.testing.assert_allclose(one["sub"], one["full"], rtol=0.15)
+    # trajectory: equal quality within a small ll margin
+    assert abs(lls["sub"] - lls["full"]) < 0.01, lls
+
+
+def test_sharded_dma_gather_branch_bitwise_vs_host_replay():
+    """The per-shard DMA block-gather branch (ops/gather.py inside
+    shard_map) engages with lowered thresholds on the CPU mesh and is
+    validated bit-for-bit against an independent implementation: the
+    streaming chunk replays the same block sample on the HOST with numpy
+    fancy indexing, so equal gamma proves the DMA gather fetched exactly
+    the sampled rows."""
+    from terastructure_tpu.parallel.stream import make_sharded_stream_chunk
+
+    n, l, k = 512, 1024, 3
+    _, _, x = simulate_psd(n, l, k, seed=10)
+    data = GenotypeData.from_dense(x, validation_frac=0, heldout_frac=0,
+                                   seed=10)
+    mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=2, snp=4))
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=512, seed=10,
+                    kernel="pallas", lambda_mode="local", local_iters=4,
+                    dma_gather=True, dma_gather_min_l=8)
+    plan = sharded.make_plan(cfg, mesh)
+    assert sharded.plan_kernels(cfg, plan).dma_blocks  # branch engaged
+
+    nsteps = 3
+    _, packed = sharded.prepare(cfg, data, mesh)
+    st_res = sharded.init_sharded_state(cfg, plan, mesh)
+    st_res = sharded.make_sharded_run_chunk(cfg, plan, mesh, nsteps)(
+        st_res, packed)
+
+    st_str = sharded.init_sharded_state(cfg, plan, mesh)
+    st_str = make_sharded_stream_chunk(cfg, plan, mesh, nsteps)(
+        st_str, np.asarray(data.packed))
+
+    np.testing.assert_array_equal(np.asarray(st_str.gamma),
+                                  np.asarray(st_res.gamma))
