@@ -32,6 +32,15 @@ def main():
     ap.add_argument("--cold-start", action="store_true",
                     help="disable the SVI warm-start/preconditioner "
                          "(honesty A/B of the validator)")
+    ap.add_argument("--traj-mult", type=float, default=1.0,
+                    help="ChEES: sampling-phase trajectory multiplier "
+                         "(slow-coordinate R-hat lever)")
+    ap.add_argument("--mass-floor", type=float, default=0.25,
+                    help="ChEES: floor warmup mass at this fraction of "
+                         "the q-variance preconditioner")
+    ap.add_argument("--smc-particles", type=int, default=512)
+    ap.add_argument("--smc-mutations", type=int, default=2)
+    ap.add_argument("--smc-leapfrog", type=int, default=8)
     args = ap.parse_args()
 
     from terastructure_tpu.data.simulate import simulate_psd
@@ -46,9 +55,13 @@ def main():
                                  else 4 if args.full else 1)
         kw = dict(n_samples=args.n_samples, n_warmup=args.n_warmup,
                   n_chains=chains)
+        if args.sampler == "chees":
+            kw.update(sample_traj_mult=args.traj_mult,
+                      mass_floor_frac=args.mass_floor)
     else:
-        kw = dict(n_particles=512, n_mutations=2, n_leapfrog=8,
-                  mutation_eps=0.05)
+        kw = dict(n_particles=args.smc_particles,
+                  n_mutations=args.smc_mutations,
+                  n_leapfrog=args.smc_leapfrog, mutation_eps=0.05)
     rep = compare_svi_mcmc(x, k=args.k, sampler=args.sampler,
                            seed=args.seed, warm_start=not args.cold_start,
                            **kw)

@@ -81,6 +81,15 @@ class SVIConfig:
     # (svi/postprocess.solve_lambda_blocks), which never refined.
     local_refine_full: bool = False
 
+    # With local_sub_n active: decode the subsample's allele counts ONCE
+    # per step into (B, 4, W_sub) bf16 planes (exact — counts are
+    # {0,1,2}) and iterate lambda_stats_acat over them, instead of
+    # re-running the 2-bit unpack chain (shift/mask/compare/cast/select,
+    # the VPU-bound share of the iteration) every coordinate-ascent
+    # pass. Costs one extra HBM round-trip of 2*B*4W_sub bf16 per step,
+    # repaid local_iters times. Pallas path only.
+    sub_decode_once: bool = True
+
     # With local_sub_n active: compute the phi-ratio divides of the
     # SUBSAMPLED solve iterations with the VPU's fast reciprocal
     # approximation (~2^-12 relative error) instead of exact division.

@@ -75,6 +75,8 @@ def run_chees(
     shard_chains: bool = True,
     inv_mass0=None,
     dispatch_chunk: int = 100,
+    mass_floor_frac: float = 0.25,
+    sample_traj_mult: float = 1.0,
 ):
     """Run n_chains ChEES-HMC chains (vectorized leading axis).
 
@@ -82,6 +84,17 @@ def run_chees(
     Returns (samples pytree with leading (chains, samples) as host
     numpy, diagnostics). inv_mass0: optional diagonal preconditioner
     (no chain axis), e.g. potential.svi_informed_inits' q-variances.
+
+    Two levers against the slow-coordinate R-hat tail (VERDICT r2 #9):
+    mass_floor_frac floors the warmup-estimated variance at that
+    fraction of inv_mass0 — coordinates that barely moved during warmup
+    otherwise get a tiny mass entry, shrinking their effective step and
+    freezing them harder (mean-field q UNDER-estimates posterior
+    variance, so q-var is a sound lower bound); sample_traj_mult
+    lengthens the frozen trajectory for the sampling phase only — the
+    ChEES criterion optimizes the cross-chain AVERAGE, which under-serves
+    the slowest coordinates, and extra length costs wall-clock linearly
+    while leaving adaptation untouched.
     """
     if n_chains < 2:
         raise ValueError("ChEES adaptation needs >= 2 chains")
@@ -285,13 +298,15 @@ def run_chees(
     var = c[10] / jnp.maximum(c[11], 1.0) - mean**2
     w_sh = c[11] / (c[11] + 5.0)
     c[12] = jnp.maximum(
-        w_sh * var + (1.0 - w_sh) * inv_mass, 1e-8).astype(jnp.float32)
+        jnp.maximum(w_sh * var + (1.0 - w_sh) * inv_mass,
+                    mass_floor_frac * inv_mass), 1e-8).astype(jnp.float32)
     c[4] = da_init(jnp.exp(c[4].log_eps))
     carry = set_flags(tuple(c), True, True, False)
     carry, _ = drive(carry, n3)
-    # freeze everything for sampling
+    # freeze everything for sampling (optionally with a longer T)
     c = list(carry)
     c[4] = c[4]._replace(log_eps=c[4].log_eps_avg)
+    c[5] = c[5] + jnp.log(jnp.asarray(float(sample_traj_mult)))
     carry = set_flags(tuple(c), False, False, False)
     carry, (qs, accs, epss, trajs) = drive(carry, n_samples, collect=True)
 

@@ -75,11 +75,6 @@ def _plane_counts(bytes_blk, s, dtype):
     return a1, a0
 
 
-def _acat_vmem_bytes(b: int, w: int) -> int:
-    """VMEM bytes of the pre-decoded allele-count planes (bf16)."""
-    return (2 * b) * (4 * w) * 2
-
-
 # Scoped-VMEM limit passed to the compiler, and the model's safe target
 # (margin for allocator slack the model cannot see).
 VMEM_LIMIT_BYTES = 100 * 1024 * 1024

@@ -402,6 +402,138 @@ def batch_stats_fused_v2_packed(rows, u, t1, t0, *, tb, tw,
     return gamma_stat, t1 * l0p.sum(axis=0), t0 * l1p.sum(axis=0)
 
 
+def decode_count_planes(rows, dtype=jnp.bfloat16):
+    """Packed rows -> pre-decoded allele-count planes (XLA, one pass).
+
+    rows: (B, W) uint8. Returns (a1, a0) each (B, 4, W) `dtype` with
+    a1[b, s, w] = count for individual 4w+s (exact: counts are {0,1,2},
+    missing -> 0 in both planes). The (B, 4, W) layout lets Pallas tiles
+    slice (tb, 4, tw) blocks whose reshape (tb, 4*tw) matches u_planes'
+    (4, tw, K) -> (4tw, K) row order — no transpose anywhere.
+
+    Purpose (VERDICT r2 #8): the big-N subsampled solve re-unpacks the
+    same bytes every coordinate-ascent iteration; the unpack chain
+    (shift/mask/compare/cast/selects) is the VPU-bound share of the
+    iteration (docs/design.md). Decoding ONCE costs one extra HBM
+    round-trip of 2*B*4W*2 bytes, repaid local_iters times.
+    """
+    x = rows.astype(jnp.int32)
+    planes = jnp.stack([(x >> (2 * s)) & 0x3 for s in range(4)], axis=1)
+    missing = planes == 3
+    xf = planes.astype(jnp.float32)
+    a1 = jnp.where(missing, 0.0, xf).astype(dtype)
+    a0 = jnp.where(missing, 0.0, 2.0 - xf).astype(dtype)
+    return a1, a0
+
+
+def _lambda_acat_kernel(a1_ref, a0_ref, up_ref, t1_ref, t0_ref,
+                        l0_ref, l1_ref, *, dtype, approx_div=False):
+    """lambda-stats from pre-decoded count planes (no in-kernel unpack)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        l0_ref[:] = jnp.zeros_like(l0_ref)
+        l1_ref[:] = jnp.zeros_like(l1_ref)
+
+    tb = t1_ref.shape[0]
+    tw = up_ref.shape[1]
+    k = up_ref.shape[2]
+    t_cat = jnp.concatenate(
+        [t1_ref[:].astype(dtype), t0_ref[:].astype(dtype)], axis=0)
+    u_cat = up_ref[:].reshape(4 * tw, k).astype(dtype)
+    a_cat = jnp.concatenate(
+        [a1_ref[:].reshape(tb, 4 * tw), a0_ref[:].reshape(tb, 4 * tw)],
+        axis=0)                                           # (2TB, 4TW)
+    d = jax.lax.dot_general(
+        t_cat, u_cat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (2TB, 4TW)
+    if approx_div:
+        r = (a_cat.astype(jnp.float32)
+             * pl.reciprocal(d + _EPS, approx=True)).astype(dtype)
+    else:
+        r = (a_cat.astype(jnp.float32) / (d + _EPS)).astype(dtype)
+    acc = jnp.dot(r, u_cat, preferred_element_type=jnp.float32)
+    l0_ref[:] += acc[:tb]
+    l1_ref[:] += acc[tb:]
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "tw", "dtype", "interpret",
+                                             "approx_div"))
+def lambda_stats_acat(a1, a0, u_planes, t1, t0, *, tb=DEF_TB, tw=DEF_TW,
+                      dtype=jnp.bfloat16, interpret=False,
+                      approx_div=False):
+    """lambda_stats_packed on pre-decoded (B, 4, W) count planes."""
+    b = a1.shape[0]
+    w = a1.shape[2]
+    k = u_planes.shape[-1]
+    nb, nw = _tiles(b, w, tb, tw)
+    kern = functools.partial(_lambda_acat_kernel, dtype=dtype,
+                             approx_div=approx_div)
+    l0, l1 = pl.pallas_call(
+        kern,
+        grid=(nb, nw),
+        in_specs=[
+            pl.BlockSpec((tb, 4, tw), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 4, tw), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tw, k), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a1, a0, u_planes, t1, t0)
+    return l0, l1
+
+
+def local_solve_acat(rows, u, lamb_b, *, beta_a, beta_b, local_iters,
+                     local_tol, tb, tw, dtype=jnp.bfloat16,
+                     interpret=False, stat_scale=1.0, approx_div=False):
+    """local_solve_packed with the counts decoded ONCE up front.
+
+    Same math, same returns; the while_loop iterates lambda_stats_acat
+    over the pre-decoded planes instead of re-unpacking rows each pass.
+    """
+    from terastructure_tpu.models.psd import elog_beta
+
+    u_planes = u_to_planes(u)
+    a1, a0 = decode_count_planes(rows)
+
+    def cond(carry):
+        lam, it, delta = carry
+        return jnp.logical_and(it < local_iters, delta > local_tol)
+
+    def body(carry):
+        lam, it, _ = carry
+        e1, e0 = elog_beta(lam)
+        t1, t0 = jnp.exp(e1), jnp.exp(e0)
+        l0, l1 = lambda_stats_acat(
+            a1, a0, u_planes, t1, t0, tb=tb, tw=tw, dtype=dtype,
+            interpret=interpret, approx_div=approx_div)
+        new = jnp.stack([beta_a + stat_scale * t1 * l0,
+                         beta_b + stat_scale * t0 * l1], axis=-1)
+        delta = jnp.mean(jnp.abs(new - lam)) / (jnp.mean(jnp.abs(lam)) + 1.0)
+        return new, it + 1, delta
+
+    lam, _, _ = jax.lax.while_loop(
+        cond, body, (lamb_b, jnp.int32(0), jnp.float32(jnp.inf)))
+    return lam
+
+
 def local_solve_packed(rows, u, lamb_b, *, beta_a, beta_b, local_iters,
                        local_tol, tb, tw, dtype=jnp.bfloat16,
                        interpret=False, stat_scale=1.0, approx_div=False):

@@ -300,6 +300,26 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
             return jnp.stack([cfg.beta_a + st_scale * t1 * l0r,
                               cfg.beta_b + st_scale * t0 * l1r], axis=-1)
 
+        # Decode-once iteration path (cfg.sub_decode_once): the
+        # subsample's count planes are decoded one time per step and the
+        # iterations skip the per-pass 2-bit unpack (VERDICT r2 #8).
+        if use_sub and cfg.sub_decode_once:
+            a1s, a0s = pk.decode_count_planes(rows_it)
+
+            def iter_sub(lam):
+                t1, t0 = ops.exp_elog_beta(lam)
+                l0r, l1r = pk.lambda_stats_acat(
+                    a1s, a0s, u_it, t1, t0, tb=tb, tw=tw_it,
+                    dtype=kdtype, interpret=interpret,
+                    approx_div=cfg.local_sub_approx_div)
+                l0r = psum_ind(l0r)
+                l1r = psum_ind(l1r)
+                return jnp.stack([cfg.beta_a + scale * t1 * l0r,
+                                  cfg.beta_b + scale * t0 * l1r], axis=-1)
+        else:
+            def iter_sub(lam):
+                return one_iter(lam, rows_it, u_it, tw_it, scale)
+
         def cond(carry):
             _, it, delta = carry
             return jnp.logical_and(it < cfg.local_iters,
@@ -307,7 +327,7 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
 
         def body(carry):
             lam, it, _ = carry
-            new = one_iter(lam, rows_it, u_it, tw_it, scale)
+            new = iter_sub(lam)
             delta = (jnp.mean(jnp.abs(new - lam))
                      / (jnp.mean(jnp.abs(lam)) + 1.0))
             return new, it + 1, delta

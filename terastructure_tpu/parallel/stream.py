@@ -68,6 +68,19 @@ class ShardedBatchStream:
                        and not self._multiproc)
         self._bufs = ([np.full(self.gshape, 0xFF, np.uint8)
                        for _ in range(2)] if self._reuse else None)
+        # Threaded memcpy core for the host gather (native/bedops.cpp —
+        # the reference-style C++ runtime component; 4.6 GB/s measured
+        # vs ~1-2 GB/s single-threaded numpy fancy indexing).
+        self._native = None
+        if (byte_col_offset == 0
+                and getattr(packed_host, "flags", None) is not None
+                and packed_host.flags.c_contiguous):
+            try:
+                from terastructure_tpu import native
+
+                self._native = native.gather_groups
+            except ImportError:
+                pass
 
         b_local, l_local, nsnp = self.b_local, self.l_local, self.snp
         dma = self.dma_blocks
@@ -109,7 +122,16 @@ class ShardedBatchStream:
         for s in range(self.snp):
             rows_g = s * self.l_local + idx[s]
             valid = rows_g < l_data
-            dst = buf[s * self.b_local:(s + 1) * self.b_local, c0:c1]
+            blk = buf[s * self.b_local:(s + 1) * self.b_local]
+            if self._native is not None and valid.all():
+                # threaded memcpy: 8-row groups under the blocks sampler,
+                # per-row otherwise (the row block of buf is contiguous
+                # and full-width, native writes cols [0, w_host))
+                g = 8 if self.dma_blocks else 1
+                self._native(self.packed,
+                             rows_g[::g].astype(np.int64), g, blk)
+                continue
+            dst = blk[:, c0:c1]
             if valid.all():
                 dst[:] = self.packed[rows_g]
             else:

@@ -198,7 +198,9 @@ def step_core_packed(cfg: SVIConfig, gamma, rows, lamb_b, *,
         rows_sub = rows[:, idx_w]
         u_sub = u.reshape(wp, 4, -1)[idx_w].reshape(4 * sub_w, -1)
         _, tw_sub = pk.pick_tiles(b + b_pad, sub_w)
-        lamb_b = pk.local_solve_packed(
+        solve = (pk.local_solve_acat if cfg.sub_decode_once
+                 else pk.local_solve_packed)
+        lamb_b = solve(
             rows_sub, u_sub, lamb_b,
             beta_a=cfg.beta_a, beta_b=cfg.beta_b,
             local_iters=cfg.local_iters, local_tol=cfg.local_tol,

@@ -191,3 +191,71 @@ def test_pick_tiles_errors():
     with pytest.raises(ValueError):
         pk.pick_tiles(16, 100)
     assert pk.pick_tiles(1024, 640) == (256, 128)
+
+
+def test_lambda_stats_acat_matches_packed():
+    """Pre-decoded count-plane kernel == in-kernel-unpack kernel
+    (counts {0,1,2} are exact in bf16, so the decode-once path is the
+    same math; VERDICT r2 #8 decode-once optimization)."""
+    from terastructure_tpu.ops import stats_pallas as pk
+
+    rng = np.random.default_rng(3)
+    b, w, k = 32, 256, 5
+    rows = jnp.asarray(rng.integers(0, 256, size=(b, w), dtype=np.uint8))
+    u = jnp.asarray(rng.uniform(0.05, 1.0, size=(4 * w, k)), jnp.float32)
+    t1 = jnp.asarray(rng.uniform(0.1, 1.0, size=(b, k)), jnp.float32)
+    t0 = jnp.asarray(rng.uniform(0.1, 1.0, size=(b, k)), jnp.float32)
+    up = pk.u_to_planes(u)
+    kw = dict(tb=8, tw=128, dtype=jnp.float32, interpret=True)
+    want = pk.lambda_stats_packed(rows, up, t1, t0, **kw)
+    a1, a0 = pk.decode_count_planes(rows)
+    got = pk.lambda_stats_acat(a1, a0, up, t1, t0, **kw)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_local_solve_acat_matches_packed():
+    from terastructure_tpu.ops import stats_pallas as pk
+
+    rng = np.random.default_rng(4)
+    b, w, k = 16, 128, 3
+    rows = jnp.asarray(rng.integers(0, 256, size=(b, w), dtype=np.uint8))
+    u = jnp.asarray(rng.uniform(0.05, 1.0, size=(4 * w, k)), jnp.float32)
+    lamb0 = jnp.asarray(rng.uniform(0.5, 2.0, size=(b, k, 2)), jnp.float32)
+    kw = dict(beta_a=1.0, beta_b=1.0, local_iters=6, local_tol=-1.0,
+              tb=8, tw=128, dtype=jnp.float32, interpret=True,
+              stat_scale=2.0)
+    want = pk.local_solve_packed(rows, u, lamb0, **kw)
+    got = pk.local_solve_acat(rows, u, lamb0, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_engine_sub_decode_once_matches_off():
+    """step_core_packed with sub_decode_once on/off: same trajectory
+    (the decode-once path is the same math on the same subsample)."""
+    from terastructure_tpu.config import SVIConfig
+    from terastructure_tpu.svi import engine
+
+    rng = np.random.default_rng(5)
+    n, l, k, b = 4096, 64, 3, 16
+    rows = jnp.asarray(
+        rng.integers(0, 256, size=(b, n // 4), dtype=np.uint8))
+    gamma = jnp.asarray(rng.uniform(0.3, 3.0, size=(n, k)), jnp.float32)
+    lamb_b = jnp.ones((b, k, 2), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    outs = {}
+    for flag in (True, False):
+        cfg = SVIConfig(n=n, l=l, k=k, batch_size=b, local_iters=5,
+                        local_sub_n=512, sub_decode_once=flag,
+                        local_sub_approx_div=False)
+        outs[flag] = engine.step_core_packed(
+            cfg, gamma, rows, lamb_b, interpret=True, key=key)
+    np.testing.assert_allclose(np.asarray(outs[True][0]),
+                               np.asarray(outs[False][0]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[True][1]),
+                               np.asarray(outs[False][1]),
+                               rtol=1e-6, atol=1e-6)
