@@ -54,8 +54,9 @@ def roofline_step_s(cfg, w):
     """Lower bound on one fused-kernel SVI step (seconds).
 
     Counts the irreducible work of the flagship kernel at this config
-    (ops/fused_step.py, pre-decode off at B=4096 x W=640 — the only
-    config that fits scoped VMEM there, see kernel_vmem_bytes):
+    (ops/fused_step.py; as of round 3 the int8 acat pre-decode fits
+    B=4096 x W=640, so the per-pass unpack term below OVERSTATES the
+    VPU bound there — harmless, the MXU term dominates either way):
       - MXU: D-dot + stat-dot per coordinate-ascent pass plus the final
         g-dot, all contracting over K; K«128 means the systolic array
         streams 128-wide with K/128 occupancy (lane padding is

@@ -84,6 +84,10 @@ def main():
         "v2": base.replace(stats_kernel="fused_v2"),
         "v2_approx": base.replace(stats_kernel="fused_v2",
                                   stats_approx_div=True),
+        # round-2 behavior: re-unpack the 2-bit subsample every ascent
+        # pass (decode-once off) — the A/B for cfg.sub_decode_once
+        "v2_nodecode": base.replace(stats_kernel="fused_v2",
+                                    sub_decode_once=False),
         "stored6": base.replace(stats_kernel="fused_v2",
                                 lambda_mode="stored", local_iters=6),
         "stored4": base.replace(stats_kernel="fused_v2",

@@ -49,6 +49,10 @@ def try_compile(b, w, k, dtype, pre=None, tw=None):
         ).lower(rows, up, lamb0)
         lowered.compile()
         return True, ""
+    except ValueError as e:
+        # supports() rejected the shape (rows over budget etc.) — not a
+        # compile outcome; record and move on
+        return None, str(e)[:120]
     except Exception as e:  # noqa: BLE001 — classify compile OOMs
         msg = str(e)
         if ("vmem" in msg.lower() or "memory" in msg.lower()
@@ -73,7 +77,7 @@ def main():
         if b * w > fused_step.ROWS_VMEM_BUDGET:
             continue
         if args.raw:
-            combos = [(pre, tw) for pre in (False, True)
+            combos = [(pre, tw) for pre in (False, "bf16", "i8")
                       for tw in (512, 256, 128) if w % tw == 0]
         else:
             picked = fused_step.pick_config(b, w, args.k, dtype)
@@ -86,6 +90,12 @@ def main():
             est = fused_step.kernel_vmem_bytes(
                 b, w, args.k, tw=tw, pre=pre, dtype=dtype)
             ok, msg = try_compile(b, w, args.k, dtype, pre=pre, tw=tw)
+            if ok is None:      # supports() rejected — not a compile outcome
+                rec = {"b": b, "w": w, "k": args.k, "pre": pre, "tw": tw,
+                       "supported": False}
+                out.append(rec)
+                print(json.dumps(rec), flush=True)
+                continue
             rec = {"b": b, "w": w, "k": args.k, "pre": pre, "tw": tw,
                    "dtype": str(dtype), "compiles": ok,
                    "model_mb": round(est / 2**20, 1),

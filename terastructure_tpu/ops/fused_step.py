@@ -69,6 +69,11 @@ def _exp_elog_beta_inkernel(lam0, lam1):
 def _plane_counts(bytes_blk, s, dtype):
     x = (bytes_blk.astype(jnp.int32) >> (2 * s)) & 0x3
     missing = x == 3
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
+        # integer target (i8 acat scratch): counts {0,1,2} stay integral
+        a1 = jnp.where(missing, 0, x).astype(dtype)
+        a0 = jnp.where(missing, 0, 2 - x).astype(dtype)
+        return a1, a0
     xf = x.astype(jnp.float32)
     a1 = jnp.where(missing, 0.0, xf).astype(dtype)
     a0 = jnp.where(missing, 0.0, 2.0 - xf).astype(dtype)
@@ -76,9 +81,12 @@ def _plane_counts(bytes_blk, s, dtype):
 
 
 # Scoped-VMEM limit passed to the compiler, and the model's safe target
-# (margin for allocator slack the model cannot see).
-VMEM_LIMIT_BYTES = 100 * 1024 * 1024
-VMEM_SAFE_BYTES = 96 * 1024 * 1024
+# (margin for allocator slack the model cannot see). v5e has 128 MB of
+# VMEM; 116 leaves ~12 MB for the kernel's (small) I/O blocks — the
+# flagship B=4096 x W=640 i8-acat config (102.1 MB measured scoped
+# usage) compiles AND executes at this limit (round-3 probe).
+VMEM_LIMIT_BYTES = 116 * 1024 * 1024
+VMEM_SAFE_BYTES = 112 * 1024 * 1024
 
 # Count of live lane-padded (B, K->128) f32 arrays at the kernel's peak:
 # lamb out (counted as several units via its (K,2)->(8,128) tile),
@@ -91,7 +99,7 @@ VMEM_SAFE_BYTES = 96 * 1024 * 1024
 _KPAD_UNITS = 11
 
 
-def kernel_vmem_bytes(b: int, w: int, k: int, *, tw: int, pre: bool,
+def kernel_vmem_bytes(b: int, w: int, k: int, *, tw: int, pre,
                       dtype=jnp.float32) -> int:
     """Analytic scoped-VMEM footprint of the fused kernel (bytes).
 
@@ -104,16 +112,32 @@ def kernel_vmem_bytes(b: int, w: int, k: int, *, tw: int, pre: bool,
     r2 weak #1). Calibrated against compile outcomes measured on v5e
     (benchmarks/probe_fused_vmem.py); intentionally conservative — a
     rejected-but-compilable shape just falls back to a cheaper config.
+
+    pre: False (decode every pass), "bf16" (True accepted as alias), or
+    "i8" — counts are {0,1,2} so an int8 scratch is exact at HALF the
+    bf16 footprint, which is what lets the flagship B=4096 x W=640
+    shape keep the decode-once win inside the 96 MB budget.
     """
     ds = jnp.dtype(dtype).itemsize
     kp = 128 * ((k + 127) // 128)
     e = (2 * b) * (4 * tw)
     total = b * w                              # packed rows (u8)
     if pre:
-        total += (2 * b) * (4 * w) * 2         # acat scratch (bf16)
-        # tile: D f32 (dot result) + R (dot operand); the bf16 read and
-        # f32 cast stream through vregs without materializing
+        mode = "bf16" if pre is True else pre
+        sb = 2 if mode == "bf16" else 1
+        total += (2 * b) * (4 * w) * sb        # acat scratch
+        # tile: D f32 (dot result) + R (dot operand)
         total += e * (4 + ds)
+        # Measured on v5e: Mosaic materializes the scratch-read f32
+        # cast plus the fill-loop concat — B=4096 W=640 tw=128 measured
+        # 121.22 MB (bf16) / 102.09 MB (i8) scoped vs the streamed-cast
+        # model's 99.0 / 81.6, and the tw=256 pre modes at B=4096 W=256
+        # OOM'd at the 116 MB limit despite streamed-model fits
+        # (benchmarks/results/fused_vmem_probe.json). Charging it
+        # everywhere is conservative for two probe-measured-compiling
+        # bf16 big-tile shapes, whose picks just shift to the exact i8
+        # mode (which also compiles there).
+        total += e * (4 + sb)
     else:
         # tile: D f32 + R + the concatenated count planes (materialized
         # as a divide operand after jnp.concatenate)
@@ -126,8 +150,9 @@ def kernel_vmem_bytes(b: int, w: int, k: int, *, tw: int, pre: bool,
 def pick_config(b: int, w: int, k: int, dtype=jnp.float32):
     """Choose (tw, precompute_acat) for this shape, or None if nothing
     fits the scoped-VMEM budget. Prefers the pre-decoded count planes
-    (measured ~25% step win when resident) and then the largest tile."""
-    for pre in (True, False):
+    (measured ~25% step win when resident; bf16 over i8 — one fewer
+    cast flavor on the hot read) and then the largest tile."""
+    for pre in ("bf16", "i8", False):
         for tw in (512, 256, 128):
             if w % tw:
                 continue
@@ -175,7 +200,7 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
             def fill(wt, _):
                 start = pl.multiple_of(wt * tw, tw)
                 blk = rows_ref[:, pl.ds(start, tw)]
-                counts = [_plane_counts(blk, s, jnp.bfloat16)
+                counts = [_plane_counts(blk, s, a_ref.dtype)
                           for s in range(4)]
                 a_ref[:, pl.ds(wt * 4 * tw, 4 * tw)] = jnp.concatenate(
                     [jnp.concatenate([c[0] for c in counts], axis=1),
@@ -355,7 +380,7 @@ def fused_local_solve(rows, u_planes, lamb_init, *,
     tw, pre = pick_config(b, w, k, dtype)
     forced = precompute_acat if precompute_acat is not None else ACAT_OVERRIDE
     if forced is not None and forced != pre:
-        pre = forced
+        pre = "bf16" if forced is True else forced
         # Largest tile that the model accepts under the forced mode;
         # fall back to the smallest tile if none does (probe use only).
         fits = [t for t in (512, 256, 128) if w % t == 0 and
@@ -389,7 +414,9 @@ def fused_local_solve(rows, u_planes, lamb_init, *,
             jax.ShapeDtypeStruct((4, w, k), jnp.float32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((2 * b, 4 * w), jnp.bfloat16)] if pre else []),
+            [pltpu.VMEM((2 * b, 4 * w),
+                        jnp.int8 if pre == "i8" else jnp.bfloat16)]
+            if pre else []),
         interpret=interpret,
     )(rows, u_planes,
       lamb_init[:, :, 0] + 0.0,
@@ -442,7 +469,9 @@ def fused_local_solve_dma(idx0, packed, u_planes, lamb_init, *, group,
         scratch_shapes=[
             pltpu.VMEM((b, w), jnp.uint8),
             pltpu.SemaphoreType.DMA,
-        ] + ([pltpu.VMEM((2 * b, 4 * w), jnp.bfloat16)] if pre else []),
+        ] + ([pltpu.VMEM((2 * b, 4 * w),
+                         jnp.int8 if pre == "i8" else jnp.bfloat16)]
+             if pre else []),
     )
     lamb_b, g = pl.pallas_call(
         kernel,

@@ -113,38 +113,81 @@ def test_vmem_footprint_model_vs_measured_compiles():
     recorded in benchmarks/results/fused_vmem_probe.json."""
     f32 = jnp.float32
     oomed = [  # (b, w, tw, pre) measured to exceed scoped VMEM
-        (4096, 640, 128, True),    # the round-2 bench crash
+        (4096, 640, 128, True),    # the round-2 bench crash (121.22 MB)
         (4096, 256, 256, False),
-        (4096, 256, 256, True),
+        # round-3 probe at the raised 116 MB limit: the pre modes at
+        # B=4096 W=256 tw=256 still OOM despite streamed-cast fits
+        (4096, 256, 256, "bf16"),
+        (4096, 256, 256, "i8"),
+        # bf16 acat at the flagship shape (alias True above)
+        (4096, 640, 128, "bf16"),
     ]
     for b, w, tw, pre in oomed:
         assert fused_step.kernel_vmem_bytes(
             b, w, 8, tw=tw, pre=pre, dtype=f32) > fused_step.VMEM_SAFE_BYTES
 
-    compiled = [  # measured to compile on v5e (probe grid)
-        (1024, 640, 128, True), (2048, 640, 128, True),
+    compiled = [  # measured to compile on v5e (probe grid, 116 MB limit)
+        (1024, 640, 128, "bf16"), (2048, 640, 128, "bf16"),
         (4096, 640, 128, False),   # the round-1 flagship bench config
-        (1024, 1280, 256, True), (2048, 1280, 256, True),
-        (1024, 2560, 512, True),
-        (4096, 256, 128, True), (4096, 128, 128, True),
+        (4096, 640, 128, "i8"),    # the round-3 flagship (102.09 MB)
+        (1024, 1280, 256, "bf16"),
+        (1024, 2560, 256, "bf16"),
+        (2048, 1280, 128, "bf16"), (2048, 1280, 256, "i8"),
+        (4096, 256, 128, "bf16"), (4096, 128, 128, "bf16"),
+        (4096, 256, 128, "i8"), (4096, 128, 128, "i8"),
     ]
     for b, w, tw, pre in compiled:
         assert fused_step.kernel_vmem_bytes(
             b, w, 8, tw=tw, pre=pre,
             dtype=f32) <= fused_step.VMEM_SAFE_BYTES, (b, w, tw, pre)
 
+    # every auto-picked config must be one the probe measured compiling
+    # (the probe's non-raw mode re-verifies this on hardware)
+    for b, w in [(1024, 640), (2048, 640), (4096, 640), (1024, 1280),
+                 (2048, 1280), (1024, 2560), (4096, 256), (4096, 128)]:
+        assert fused_step.pick_config(b, w, 8) is not None, (b, w)
+
 
 def test_pick_config_covers_bench_shapes():
-    """Every shape the benches/drivers use must get SOME fused config,
-    and the flagship B=4096 W=640 must come back pre-decode-off (the
-    only config that fits there)."""
-    assert fused_step.pick_config(4096, 640, 8) == (128, False)
-    assert fused_step.pick_config(1024, 640, 8) == (128, True)
+    """Every shape the benches/drivers use must get SOME fused config.
+    The flagship B=4096 W=640 shape doesn't fit the bf16 acat scratch
+    (99 MB > 96 safe) but DOES fit the exact int8 one (79 MB) — counts
+    are {0,1,2} — so it keeps the decode-once win."""
+    assert fused_step.pick_config(4096, 640, 8) == (128, "i8")
+    assert fused_step.pick_config(1024, 640, 8) == (128, "bf16")
     # HGDP shape: W = ceil(940/4)=235 -> padded 256
     assert fused_step.pick_config(1024, 256, 7) is not None
     # no config fits -> supports() is False and the engine falls back
     assert fused_step.pick_config(8192, 256, 8) is None
     assert not fused_step.supports(8192, 256)
+
+
+def test_fused_acat_i8_matches_dense():
+    """The int8 acat scratch is EXACT (counts {0,1,2}): forcing mode
+    'i8' must reproduce the dense step to the same tolerance as auto."""
+    b, n, l, k = 16, 512, 64, 3
+    x, packed, gamma, idx = _problem(b, n, l, k, seed=7)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=b, local_iters=6,
+                    local_tol=-1.0)
+    xb = unpack2bit_jnp(packed, n)[idx]
+    lamb_prior = jnp.ones((b, k, 2), jnp.float32)
+    want_lamb, want_gstat = engine.step_core_dense(cfg, gamma, xb, lamb_prior)
+    u = ops.exp_elog_theta(gamma)
+    got = {}
+    for mode in ("i8", "bf16"):
+        got_lamb, g = fused_step.fused_local_solve(
+            packed[idx], pk.u_to_planes(u), jnp.zeros((b, k, 2), jnp.float32),
+            local_iters=6, local_tol=-1.0, beta_a=1.0, beta_b=1.0,
+            dtype=jnp.float32, warm_start=False, interpret=True,
+            precompute_acat=mode)
+        got[mode] = (np.asarray(got_lamb), np.asarray(u * pk.planes_to_flat(g)))
+        np.testing.assert_allclose(got[mode][0], np.asarray(want_lamb),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(got[mode][1], np.asarray(want_gstat),
+                                   rtol=2e-4, atol=2e-4)
+    # i8 and bf16 scratches hold identical values -> bitwise-equal output
+    np.testing.assert_array_equal(got["i8"][0], got["bf16"][0])
+    np.testing.assert_array_equal(got["i8"][1], got["bf16"][1])
 
 
 def test_fused_dma_matches_rows_variant():
