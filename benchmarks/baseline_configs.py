@@ -93,6 +93,12 @@ def main():
                     help="big-N fast preset: local_iters=10 + "
                          "approx-reciprocal stats divides (quality A/B in "
                          "benchmarks/results/bigN_quality_ab.json)")
+    ap.add_argument("--accel", action="store_true",
+                    help="Aitken-accelerated local solve: local_accel + "
+                         "local_iters=6 (study in benchmarks/results/"
+                         "local_accel_ab.json)")
+    ap.add_argument("--local-iters", type=int, default=0,
+                    help="override local coordinate-ascent iterations")
     args = ap.parse_args()
 
     spec = CONFIGS[args.config]
@@ -160,6 +166,10 @@ def main():
     )
     if args.fast:
         cfg = cfg.replace(local_iters=10, stats_approx_div=True)
+    if args.accel:
+        cfg = cfg.replace(local_accel=True, local_iters=6)
+    if args.local_iters:
+        cfg = cfg.replace(local_iters=args.local_iters)
     meter = StepMeter(cfg.batch_size)
     t0 = time.time()
     if len(jax.devices()) > 1:

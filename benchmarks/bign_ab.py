@@ -88,6 +88,12 @@ def main():
         # pass (decode-once off) — the A/B for cfg.sub_decode_once
         "v2_nodecode": base.replace(stats_kernel="fused_v2",
                                     sub_decode_once=False),
+        # Aitken-accelerated local solve (cfg.local_accel): one final
+        # delta^2 extrapolation replaces ~10 plain passes
+        "accel6": base.replace(stats_kernel="fused_v2",
+                               local_accel=True, local_iters=6),
+        "accel8": base.replace(stats_kernel="fused_v2",
+                               local_accel=True, local_iters=8),
         "stored6": base.replace(stats_kernel="fused_v2",
                                 lambda_mode="stored", local_iters=6),
         "stored4": base.replace(stats_kernel="fused_v2",

@@ -58,6 +58,15 @@ class SVIConfig:
     local_iters: int = 16
     local_tol: float = 1e-4     # mean |delta lambda| early-exit threshold
 
+    # Aitken-accelerated local solve: apply one per-coordinate Aitken
+    # delta^2 extrapolation at the LAST coordinate-ascent iteration
+    # (ops/stats_dense.aitken_final). The plain fixed point contracts
+    # slowly (~5e-2 relative lambda error left after 16 passes at
+    # TGP-like shapes); 6 passes + one extrapolation land ~7x closer
+    # for ~2.6x fewer sweeps (study: benchmarks/results/
+    # local_accel_ab.json). Pair with local_iters≈6-8.
+    local_accel: bool = False
+
     # Big-N inner-loop subsampling: run the lambda coordinate-ascent
     # ITERATIONS on a per-step random subsample of this many individuals
     # (N/Ns-scaled statistics), then take ONE exact full-N pass for the

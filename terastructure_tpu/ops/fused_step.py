@@ -100,7 +100,7 @@ _KPAD_UNITS = 11
 
 
 def kernel_vmem_bytes(b: int, w: int, k: int, *, tw: int, pre,
-                      dtype=jnp.float32) -> int:
+                      dtype=jnp.float32, accel=False) -> int:
     """Analytic scoped-VMEM footprint of the fused kernel (bytes).
 
     Conservative total of the buffers live at the kernel's peak program
@@ -142,12 +142,13 @@ def kernel_vmem_bytes(b: int, w: int, k: int, *, tw: int, pre,
         # tile: D f32 + R + the concatenated count planes (materialized
         # as a divide operand after jnp.concatenate)
         total += e * (4 + 2 * ds)
-    total += _KPAD_UNITS * b * kp * 4          # lane-padded (B,K) arrays
+    units = _KPAD_UNITS + (2 if accel else 0)  # accel carries prev0/prev1
+    total += units * b * kp * 4                # lane-padded (B,K) arrays
     total += 2 * 4 * w * kp * 4                # u_planes + g, lane-padded
     return total
 
 
-def pick_config(b: int, w: int, k: int, dtype=jnp.float32):
+def pick_config(b: int, w: int, k: int, dtype=jnp.float32, accel=False):
     """Choose (tw, precompute_acat) for this shape, or None if nothing
     fits the scoped-VMEM budget. Prefers the pre-decoded count planes
     (measured ~25% step win when resident; bf16 over i8 — one fewer
@@ -157,7 +158,8 @@ def pick_config(b: int, w: int, k: int, dtype=jnp.float32):
             if w % tw:
                 continue
             if kernel_vmem_bytes(
-                    b, w, k, tw=tw, pre=pre, dtype=dtype) <= VMEM_SAFE_BYTES:
+                    b, w, k, tw=tw, pre=pre, dtype=dtype,
+                    accel=accel) <= VMEM_SAFE_BYTES:
                 return tw, pre
     return None
 
@@ -172,7 +174,7 @@ TW_OVERRIDE = None
 
 def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
                  dtype, warm_start, gather_group=0, precompute_acat=False,
-                 approx_div=False):
+                 approx_div=False, accel=False):
     """Kernel body, two I/O arrangements:
 
     gather_group == 0: rows arrive XLA-gathered —
@@ -277,26 +279,48 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
                  jnp.zeros((b, k), jnp.float32)))
 
         def cond(carry):
-            _, _, it, delta = carry
+            it, delta = carry[-2], carry[-1]
             return jnp.logical_and(it < local_iters, delta > local_tol)
 
         def body(carry):
-            lam0, lam1, it, _ = carry
+            if accel:
+                lam0, lam1, prev0, prev1, it, _ = carry
+            else:
+                lam0, lam1, it, _ = carry
             t1, t0 = _exp_elog_beta_inkernel(lam0, lam1)
             # iteration divides may use the fast reciprocal; the final
             # stats pass below always divides exactly
             l0, l1 = one_pass(t1, t0, need_g=False, approx=approx_div)
             new0 = beta_a + t1 * l0
             new1 = beta_b + t0 * l1
+            if accel:
+                # Aitken Δ² at the LAST iteration (stats_dense.
+                # aitken_final, same safe-denominator math): three
+                # consecutive iterates -> geometric limit estimate.
+                # Scalar-predicate select over a (B, K) vector hits a
+                # Mosaic relayout bug ("non-singleton logical dimension
+                # is replicated in destination but not in source"), so
+                # blend arithmetically with a scalar f32 mask instead.
+                from terastructure_tpu.ops.stats_dense import aitken_final
+                m = jnp.logical_and(
+                    it == local_iters - 1, it >= 2).astype(jnp.float32)
+                new0 = new0 + m * (aitken_final(prev0, lam0, new0) - new0)
+                new1 = new1 + m * (aitken_final(prev1, lam1, new1) - new1)
             denom = (jnp.sum(jnp.abs(lam0)) + jnp.sum(jnp.abs(lam1))) / (
                 2.0 * b * k) + 1.0
             delta = (jnp.sum(jnp.abs(new0 - lam0)) + jnp.sum(
                 jnp.abs(new1 - lam1))) / (2.0 * b * k) / denom
+            if accel:
+                return new0, new1, lam0, lam1, it + 1, delta
             return new0, new1, it + 1, delta
 
-        lam0, lam1, _, _ = jax.lax.while_loop(
-            cond, body, (lam0_init, lam1_init, jnp.int32(0),
-                         jnp.float32(jnp.inf)))
+        if accel:
+            init = (lam0_init, lam1_init, lam0_init, lam1_init,
+                    jnp.int32(0), jnp.float32(jnp.inf))
+        else:
+            init = (lam0_init, lam1_init, jnp.int32(0),
+                    jnp.float32(jnp.inf))
+        lam0, lam1 = jax.lax.while_loop(cond, body, init)[:2]
 
         # --- final pass: gamma statistics + final lambda ----------------
         g_ref[:] = jnp.zeros_like(g_ref)
@@ -348,23 +372,24 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
     return kernel_dma
 
 
-def supports(b: int, w: int, k: int = 8, dtype=jnp.float32) -> bool:
+def supports(b: int, w: int, k: int = 8, dtype=jnp.float32,
+             accel=False) -> bool:
     """Whether the fused kernel's VMEM-resident design fits this shape
     (some (tile, acat) config passes the total-footprint model)."""
     return (b * w <= ROWS_VMEM_BUDGET and w % 128 == 0 and b % 8 == 0
-            and pick_config(b, w, k, dtype) is not None)
+            and pick_config(b, w, k, dtype, accel=accel) is not None)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("local_iters", "local_tol", "beta_a", "beta_b",
                      "dtype", "warm_start", "interpret", "approx_div",
-                     "precompute_acat"))
+                     "precompute_acat", "accel"))
 def fused_local_solve(rows, u_planes, lamb_init, *,
                       local_iters, local_tol, beta_a, beta_b,
                       dtype=jnp.bfloat16, warm_start=False,
                       interpret=False, approx_div=False,
-                      precompute_acat=None):
+                      precompute_acat=None, accel=False):
     """Run the fused step kernel.
 
     rows: (B, W) uint8 gathered minibatch genotype rows.
@@ -375,17 +400,17 @@ def fused_local_solve(rows, u_planes, lamb_init, *,
     """
     b, w = rows.shape
     k = u_planes.shape[-1]
-    if not supports(b, w, k, dtype):
+    if not supports(b, w, k, dtype, accel=accel):
         raise ValueError(f"fused kernel unsupported for B={b}, W={w}")
-    tw, pre = pick_config(b, w, k, dtype)
+    tw, pre = pick_config(b, w, k, dtype, accel=accel)
     forced = precompute_acat if precompute_acat is not None else ACAT_OVERRIDE
     if forced is not None and forced != pre:
         pre = "bf16" if forced is True else forced
         # Largest tile that the model accepts under the forced mode;
         # fall back to the smallest tile if none does (probe use only).
         fits = [t for t in (512, 256, 128) if w % t == 0 and
-                kernel_vmem_bytes(b, w, k, tw=t, pre=pre,
-                                  dtype=dtype) <= VMEM_SAFE_BYTES]
+                kernel_vmem_bytes(b, w, k, tw=t, pre=pre, dtype=dtype,
+                                  accel=accel) <= VMEM_SAFE_BYTES]
         tw = fits[0] if fits else 128
     if TW_OVERRIDE is not None:
         tw = TW_OVERRIDE
@@ -393,7 +418,8 @@ def fused_local_solve(rows, u_planes, lamb_init, *,
     kernel = _make_kernel(
         b=b, w=w, k=k, tw=tw, local_iters=local_iters,
         local_tol=local_tol, beta_a=beta_a, beta_b=beta_b, dtype=dtype,
-        warm_start=warm_start, precompute_acat=pre, approx_div=approx_div)
+        warm_start=warm_start, precompute_acat=pre, approx_div=approx_div,
+        accel=accel)
 
     lamb_b, g = pl.pallas_call(
         kernel,
@@ -428,11 +454,11 @@ def fused_local_solve(rows, u_planes, lamb_init, *,
     jax.jit,
     static_argnames=("group", "local_iters", "local_tol", "beta_a",
                      "beta_b", "dtype", "warm_start", "interpret",
-                     "approx_div"))
+                     "approx_div", "accel"))
 def fused_local_solve_dma(idx0, packed, u_planes, lamb_init, *, group,
                           local_iters, local_tol, beta_a, beta_b,
                           dtype=jnp.bfloat16, warm_start=False,
-                          interpret=False, approx_div=False):
+                          interpret=False, approx_div=False, accel=False):
     """Fused solve with in-kernel group DMA (no XLA gather).
 
     idx0: (B/group,) int32 start rows (multiples of `group`, which must
@@ -443,15 +469,15 @@ def fused_local_solve_dma(idx0, packed, u_planes, lamb_init, *, group,
     b = ng * group
     _, w = packed.shape
     k = u_planes.shape[-1]
-    if group % 8 or not supports(b, w, k, dtype):
+    if group % 8 or not supports(b, w, k, dtype, accel=accel):
         raise ValueError(f"unsupported B={b}, W={w}, group={group}")
-    tw, pre = pick_config(b, w, k, dtype)
+    tw, pre = pick_config(b, w, k, dtype, accel=accel)
 
     kernel = _make_kernel(
         b=b, w=w, k=k, tw=tw, local_iters=local_iters,
         local_tol=local_tol, beta_a=beta_a, beta_b=beta_b, dtype=dtype,
         warm_start=warm_start, gather_group=group, precompute_acat=pre,
-        approx_div=approx_div)
+        approx_div=approx_div, accel=accel)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

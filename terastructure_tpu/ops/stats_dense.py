@@ -109,31 +109,58 @@ def batch_stats(a1, a0, u, t1, t0, dtype=jnp.float32,
     return BatchStats(gamma_stat=s, lam0_stat=l0, lam1_stat=l1)
 
 
+def aitken_final(prev, cur, new, floor=1e-3):
+    """One per-coordinate Aitken Δ² extrapolation of the λ fixed point.
+
+    The coordinate ascent λ ← F(λ) contracts slowly along a few modes
+    (measured: plain 16 passes leave ~5e-2 relative error at TGP-like
+    shapes; numpy study in benchmarks/results/local_accel_ab.json).
+    Given three consecutive iterates λ_{n-1}, λ_n, λ_{n+1}, the geometric
+    limit estimate is λ_{n+1} + d1²/(d0 - d1) with d1 = λ_{n+1} - λ_n,
+    d0 = λ_n - λ_{n-1} — applied ONCE at the last iteration ("final-only"
+    schedule: as accurate as every-2 extrapolation and cheapest). Floor
+    keeps λ positive for the digammas in the subsequent stats pass.
+    """
+    d1 = new - cur
+    d0 = cur - prev
+    den = d0 - d1
+    ok = jnp.abs(den) > 1e-12
+    step = jnp.where(ok, d1 * d1 / jnp.where(ok, den, 1.0), 0.0)
+    return jnp.maximum(new + step, floor)
+
+
 def local_solve(a1, a0, u, lamb_b, *, beta_a, beta_b, local_iters,
-                local_tol, dtype=jnp.float32, ind_reduce=_identity):
+                local_tol, dtype=jnp.float32, ind_reduce=_identity,
+                accel=False):
     """Local coordinate ascent phi <-> lambda for the minibatch SNPs.
 
     Mirrors the reference inner loop "until local convergence"
     (SURVEY.md §3.1) as a bounded lax.while_loop: fixed max iterations with
     an early exit on mean relative lambda change < local_tol. Carry is only
-    (lamb_b, it, delta) — the (B, N) ratio matrices are recomputed, never
-    carried, so the loop state stays O(B*K).
+    (lamb_b, prev, it, delta) — the (B, N) ratio matrices are recomputed,
+    never carried, so the loop state stays O(B*K).
+
+    accel: apply `aitken_final` at the last iteration (needs
+    local_iters >= 3; the extrapolation is skipped before it==2).
 
     Returns the converged lamb_b (B, K, 2).
     """
 
     def cond(carry):
-        lam, it, delta = carry
+        lam, _, it, delta = carry
         return jnp.logical_and(it < local_iters, delta > local_tol)
 
     def body(carry):
-        lam, it, _ = carry
+        lam, prev, it, _ = carry
         t1, t0 = exp_elog_beta(lam)
         l0, l1 = lambda_stats(a1, a0, u, t1, t0, dtype, ind_reduce=ind_reduce)
         new = jnp.stack([beta_a + l0, beta_b + l1], axis=-1)
+        if accel:
+            last = jnp.logical_and(it == local_iters - 1, it >= 2)
+            new = jnp.where(last, aitken_final(prev, lam, new), new)
         delta = jnp.mean(jnp.abs(new - lam)) / (jnp.mean(jnp.abs(lam)) + 1.0)
-        return new, it + 1, delta
+        return new, lam, it + 1, delta
 
-    init = (lamb_b, jnp.int32(0), jnp.float32(jnp.inf))
-    lam, _, _ = jax.lax.while_loop(cond, body, init)
+    init = (lamb_b, lamb_b, jnp.int32(0), jnp.float32(jnp.inf))
+    lam, _, _, _ = jax.lax.while_loop(cond, body, init)
     return lam

@@ -321,19 +321,28 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
                 return one_iter(lam, rows_it, u_it, tw_it, scale)
 
         def cond(carry):
-            _, it, delta = carry
+            _, _, it, delta = carry
             return jnp.logical_and(it < cfg.local_iters,
                                    delta > cfg.local_tol)
 
         def body(carry):
-            lam, it, _ = carry
+            lam, prev, it, _ = carry
             new = iter_sub(lam)
+            if cfg.local_accel:
+                # Aitken final extrapolation (stats_dense.aitken_final)
+                # — the psum'ed stats make iterates identical across
+                # 'ind' shards, so the extrapolation stays in lockstep.
+                last = jnp.logical_and(it == cfg.local_iters - 1,
+                                       it >= 2)
+                new = jnp.where(
+                    last, ops.aitken_final(prev, lam, new), new)
             delta = (jnp.mean(jnp.abs(new - lam))
                      / (jnp.mean(jnp.abs(lam)) + 1.0))
-            return new, it + 1, delta
+            return new, lam, it + 1, delta
 
-        lamb_b, _, _ = jax.lax.while_loop(
-            cond, body, (lamb_b, jnp.int32(0), jnp.float32(jnp.inf)))
+        lamb_b, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (lamb_b, lamb_b, jnp.int32(0), jnp.float32(jnp.inf)))
         if use_sub:
             # one exact full-N refinement before the final stats
             lamb_b = one_iter(lamb_b, rows, u_planes, tw, 1.0)
@@ -394,7 +403,8 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
                 local_iters=cfg.local_iters, local_tol=cfg.local_tol,
                 beta_a=cfg.beta_a, beta_b=cfg.beta_b, dtype=kdtype,
                 warm_start=not local_mode, interpret=interpret,
-                approx_div=cfg.stats_approx_div)
+                approx_div=cfg.stats_approx_div,
+                accel=cfg.local_accel)
             gamma_stat = (u * pk.planes_to_flat(g))[: gamma_l.shape[0]]
             if not local_mode:
                 lamb_l = lamb_l.at[idx].set(new_lamb_b)
@@ -432,7 +442,7 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
             a1, a0, u, lamb_b0,
             beta_a=cfg.beta_a, beta_b=cfg.beta_b,
             local_iters=cfg.local_iters, local_tol=cfg.local_tol,
-            dtype=dtype, ind_reduce=psum_ind,
+            dtype=dtype, ind_reduce=psum_ind, accel=cfg.local_accel,
         )
         t1, t0 = ops.exp_elog_beta(lamb_b)
         stats = ops.batch_stats(a1, a0, u, t1, t0, dtype, ind_reduce=psum_ind)

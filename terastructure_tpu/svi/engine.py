@@ -206,6 +206,7 @@ def step_core_packed(cfg: SVIConfig, gamma, rows, lamb_b, *,
             local_iters=cfg.local_iters, local_tol=cfg.local_tol,
             tb=tb, tw=tw_sub, dtype=dtype, interpret=interpret,
             stat_scale=wp / sub_w, approx_div=cfg.local_sub_approx_div,
+            accel=cfg.local_accel,
         )
         if cfg.local_refine_full:
             # Optional exact full-N refinement iteration between the
@@ -224,6 +225,7 @@ def step_core_packed(cfg: SVIConfig, gamma, rows, lamb_b, *,
             beta_a=cfg.beta_a, beta_b=cfg.beta_b,
             local_iters=cfg.local_iters, local_tol=cfg.local_tol,
             tb=tb, tw=tw, dtype=dtype, interpret=interpret,
+            accel=cfg.local_accel,
         )
     e1, e0 = psd.elog_beta(lamb_b)
     t1, t0 = jnp.exp(e1), jnp.exp(e0)
@@ -259,6 +261,7 @@ def step_core_dense(cfg: SVIConfig, gamma, xb, lamb_b):
         a1, a0, u, lamb_b,
         beta_a=cfg.beta_a, beta_b=cfg.beta_b,
         local_iters=cfg.local_iters, local_tol=cfg.local_tol, dtype=dtype,
+        accel=cfg.local_accel,
     )
     t1, t0 = ops.exp_elog_beta(lamb_b)
     stats = ops.batch_stats(a1, a0, u, t1, t0, dtype)
@@ -341,7 +344,8 @@ def make_step(cfg: SVIConfig, l_sample: int | None = None):
                     local_iters=cfg.local_iters, local_tol=cfg.local_tol,
                     beta_a=cfg.beta_a, beta_b=cfg.beta_b, dtype=dtype,
                     warm_start=not local_mode, interpret=interpret,
-                    approx_div=cfg.stats_approx_div)
+                    approx_div=cfg.stats_approx_div,
+                    accel=cfg.local_accel)
             else:
                 idx, rows = _sample_rows(cfg, packed, kb, l_s,
                                          interpret=interpret)
@@ -352,7 +356,8 @@ def make_step(cfg: SVIConfig, l_sample: int | None = None):
                     local_iters=cfg.local_iters, local_tol=cfg.local_tol,
                     beta_a=cfg.beta_a, beta_b=cfg.beta_b, dtype=dtype,
                     warm_start=not local_mode, interpret=interpret,
-                    approx_div=cfg.stats_approx_div)
+                    approx_div=cfg.stats_approx_div,
+                    accel=cfg.local_accel)
             gamma_stat = (u * pk.planes_to_flat(g))[: gamma.shape[0]]
             if not local_mode:
                 lamb = lamb.at[idx].set(new_lamb_b)

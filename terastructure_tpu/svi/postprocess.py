@@ -79,13 +79,13 @@ def solve_lambda_blocks(cfg: SVIConfig, u, packed_rows, *,
                     beta_a=cfg.beta_a, beta_b=cfg.beta_b,
                     local_iters=cfg.local_iters, local_tol=cfg.local_tol,
                     tb=tb, tw=tw_sub, dtype=dtype,
-                    stat_scale=wp / sub_w)
+                    stat_scale=wp / sub_w, accel=cfg.local_accel)
             else:
                 lam = pk.local_solve_packed(
                     rows, u, lamb0,
                     beta_a=cfg.beta_a, beta_b=cfg.beta_b,
                     local_iters=cfg.local_iters, local_tol=cfg.local_tol,
-                    tb=tb, tw=tw, dtype=dtype)
+                    tb=tb, tw=tw, dtype=dtype, accel=cfg.local_accel)
             e1, e0 = ops.exp_elog_beta(lam)
             l0, l1 = pk.lambda_stats_packed(
                 rows, u_planes, e1, e0, tb=tb, tw=tw, dtype=dtype)
@@ -97,7 +97,7 @@ def solve_lambda_blocks(cfg: SVIConfig, u, packed_rows, *,
             a1, a0, u, lamb0,
             beta_a=cfg.beta_a, beta_b=cfg.beta_b,
             local_iters=cfg.local_iters, local_tol=cfg.local_tol,
-            dtype=dtype,
+            dtype=dtype, accel=cfg.local_accel,
         )
         t1, t0 = ops.exp_elog_beta(lam)
         stats = ops.batch_stats(a1, a0, u, t1, t0, dtype)

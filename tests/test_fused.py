@@ -233,3 +233,89 @@ def test_fused_approx_div_close():
                                rtol=5e-3, atol=5e-3)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ge),
                                rtol=5e-3, atol=5e-3)
+
+
+def _fixed_point_problem(b=64, n=512, k=4, seed=9):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 4, size=(b, n)).astype(np.int8)
+    from terastructure_tpu.ops.stats_dense import allele_counts
+    a1, a0 = allele_counts(jnp.asarray(x), jnp.float32)
+    gamma = jnp.asarray(rng.uniform(0.3, 3.0, (n, k)), jnp.float32)
+    u = ops.exp_elog_theta(gamma)
+    lamb0 = jnp.ones((b, k, 2), jnp.float32)
+    return a1, a0, u, lamb0
+
+
+def test_local_accel_beats_plain16():
+    """One Aitken extrapolation after 6 passes lands closer to the
+    fixed point than 16 plain passes (the basis for cfg.local_accel;
+    numpy study in benchmarks/results/local_accel_ab.json)."""
+    a1, a0, u, lamb0 = _fixed_point_problem()
+
+    def solve(iters, accel):
+        return ops.local_solve(
+            a1, a0, u, lamb0, beta_a=1.0, beta_b=1.0,
+            local_iters=iters, local_tol=-1.0, accel=accel)
+
+    ref = np.asarray(solve(300, False))
+    err_plain16 = np.abs(np.asarray(solve(16, False)) - ref).mean()
+    err_acc6 = np.abs(np.asarray(solve(6, True)) - ref).mean()
+    assert err_acc6 < 0.5 * err_plain16, (err_acc6, err_plain16)
+
+
+def test_fused_accel_matches_dense_accel():
+    """cfg.local_accel: the fused kernel's in-loop Aitken extrapolation
+    reproduces the dense solve's (same safe-denominator math)."""
+    b, n, l, k = 16, 512, 64, 3
+    x, packed, gamma, idx = _problem(b, n, l, k, seed=4)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=b, local_iters=6,
+                    local_tol=-1.0, local_accel=True)
+    xb = unpack2bit_jnp(packed, n)[idx]
+    lamb_prior = jnp.ones((b, k, 2), jnp.float32)
+    want_lamb, want_gstat = engine.step_core_dense(cfg, gamma, xb, lamb_prior)
+    u = ops.exp_elog_theta(gamma)
+    got_lamb, g = fused_step.fused_local_solve(
+        packed[idx], pk.u_to_planes(u), jnp.zeros((b, k, 2), jnp.float32),
+        local_iters=6, local_tol=-1.0, beta_a=1.0, beta_b=1.0,
+        dtype=jnp.float32, warm_start=False, interpret=True, accel=True)
+    got_gstat = u * pk.planes_to_flat(g)
+    np.testing.assert_allclose(np.asarray(got_lamb), np.asarray(want_lamb),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_gstat), np.asarray(want_gstat),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_local_solves_accel_match_dense():
+    """local_solve_packed / local_solve_acat with accel == dense accel."""
+    b, n, l, k = 16, 512, 64, 3
+    x, packed, gamma, idx = _problem(b, n, l, k, seed=5)
+    xb = unpack2bit_jnp(packed, n)[idx]
+    from terastructure_tpu.ops.stats_dense import allele_counts
+    a1, a0 = allele_counts(xb, jnp.float32)
+    u = ops.exp_elog_theta(gamma)
+    lamb0 = jnp.ones((b, k, 2), jnp.float32)
+    want = np.asarray(ops.local_solve(
+        a1, a0, u, lamb0, beta_a=1.0, beta_b=1.0,
+        local_iters=6, local_tol=-1.0, accel=True))
+    tb, tw = pk.pick_tiles(b, packed.shape[1])
+    for fn in (pk.local_solve_packed, pk.local_solve_acat):
+        got = np.asarray(fn(
+            packed[idx], u, lamb0, beta_a=1.0, beta_b=1.0,
+            local_iters=6, local_tol=-1.0, tb=tb, tw=tw,
+            dtype=jnp.float32, interpret=True, accel=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fit_local_accel_end_to_end():
+    """Full fit with local_accel converges to the same quality."""
+    n, l, k = 64, 256, 2
+    theta_true, _, x = simulate_psd(n, l, k, seed=34)
+    data = GenotypeData.from_dense(x, validation_frac=0.02,
+                                   heldout_frac=0.02, seed=34)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=32, rfreq=100, max_steps=800,
+                    seed=34, lambda_mode="local", kernel="dense")
+    res_plain = fit(cfg, data)
+    res_acc = fit(cfg.replace(local_accel=True, local_iters=6), data)
+    assert np.isfinite(res_acc.validation_ll)
+    assert abs(res_acc.heldout_ll - res_plain.heldout_ll) < 0.05, (
+        res_acc.heldout_ll, res_plain.heldout_ll)
