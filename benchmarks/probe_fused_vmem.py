@@ -34,7 +34,7 @@ SHAPES = [
 ]
 
 
-def try_compile(b, w, k, dtype, pre=None, tw=None):
+def try_compile(b, w, k, dtype, pre=None, tw=None, accel=False):
     rows = jnp.zeros((b, w), jnp.uint8)
     up = jnp.zeros((4, w, k), jnp.float32)
     lamb0 = jnp.zeros((b, k, 2), jnp.float32)
@@ -43,9 +43,9 @@ def try_compile(b, w, k, dtype, pre=None, tw=None):
     try:
         lowered = jax.jit(
             lambda r, u, l: fused_step.fused_local_solve(
-                r, u, l, local_iters=16, local_tol=1e-4,
+                r, u, l, local_iters=7 if accel else 16, local_tol=1e-4,
                 beta_a=1.0, beta_b=1.0, dtype=dtype,
-                precompute_acat=pre)
+                precompute_acat=pre, accel=accel)
         ).lower(rows, up, lamb0)
         lowered.compile()
         return True, ""
@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--raw", action="store_true")
+    ap.add_argument("--accel", action="store_true",
+                    help="probe the Aitken-accelerated kernel (two extra "
+                         "(B,K) while-loop carries) — calibrates the +2 "
+                         "_KPAD_UNITS the model charges accel shapes")
     args = ap.parse_args()
     dtype = jnp.dtype(args.dtype)
 
@@ -80,7 +84,8 @@ def main():
             combos = [(pre, tw) for pre in (False, "bf16", "i8")
                       for tw in (512, 256, 128) if w % tw == 0]
         else:
-            picked = fused_step.pick_config(b, w, args.k, dtype)
+            picked = fused_step.pick_config(b, w, args.k, dtype,
+                                            accel=args.accel)
             if picked is None:
                 out.append({"b": b, "w": w, "picked": None})
                 print(json.dumps(out[-1]), flush=True)
@@ -88,24 +93,28 @@ def main():
             combos = [(picked[1], picked[0])]
         for pre, tw in combos:
             est = fused_step.kernel_vmem_bytes(
-                b, w, args.k, tw=tw, pre=pre, dtype=dtype)
-            ok, msg = try_compile(b, w, args.k, dtype, pre=pre, tw=tw)
+                b, w, args.k, tw=tw, pre=pre, dtype=dtype,
+                accel=args.accel)
+            ok, msg = try_compile(b, w, args.k, dtype, pre=pre, tw=tw,
+                                  accel=args.accel)
             if ok is None:      # supports() rejected — not a compile outcome
                 rec = {"b": b, "w": w, "k": args.k, "pre": pre, "tw": tw,
-                       "supported": False}
+                       "accel": args.accel, "supported": False}
                 out.append(rec)
                 print(json.dumps(rec), flush=True)
                 continue
             rec = {"b": b, "w": w, "k": args.k, "pre": pre, "tw": tw,
-                   "dtype": str(dtype), "compiles": ok,
+                   "accel": args.accel, "dtype": str(dtype), "compiles": ok,
                    "model_mb": round(est / 2**20, 1),
                    "model_fits": est <= fused_step.VMEM_SAFE_BYTES,
                    "err": msg if not ok else ""}
             out.append(rec)
             print(json.dumps(rec), flush=True)
 
+    name = ("fused_vmem_probe_accel.json" if args.accel
+            else "fused_vmem_probe.json")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "results", "fused_vmem_probe.json")
+                        "results", name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     unsafe = [r for r in out if r.get("model_fits") and not r.get("compiles", True)]

@@ -297,9 +297,16 @@ def run_chees(
     mean = c[9] / jnp.maximum(c[11], 1.0)
     var = c[10] / jnp.maximum(c[11], 1.0) - mean**2
     w_sh = c[11] / (c[11] + 5.0)
+    # The q-variance floor rationale (mean-field q under-estimates
+    # posterior variance, so inv_mass0 is a sound lower bound) only
+    # holds when a real inv_mass0 was supplied; against the identity
+    # placeholder the floor would disable mass adaptation for every
+    # coordinate with posterior variance < mass_floor_frac (ADVICE r3
+    # #2).
+    floor = mass_floor_frac * inv_mass if inv_mass0 is not None else 0.0
     c[12] = jnp.maximum(
-        jnp.maximum(w_sh * var + (1.0 - w_sh) * inv_mass,
-                    mass_floor_frac * inv_mass), 1e-8).astype(jnp.float32)
+        jnp.maximum(w_sh * var + (1.0 - w_sh) * inv_mass, floor),
+        1e-8).astype(jnp.float32)
     c[4] = da_init(jnp.exp(c[4].log_eps))
     carry = set_flags(tuple(c), True, True, False)
     carry, _ = drive(carry, n3)
@@ -307,6 +314,15 @@ def run_chees(
     c = list(carry)
     c[4] = c[4]._replace(log_eps=c[4].log_eps_avg)
     c[5] = c[5] + jnp.log(jnp.asarray(float(sample_traj_mult)))
+    # The per-chunk leapfrog bucket caps at max_leapfrog, so a
+    # multiplied trajectory beyond eps*max_leapfrog would silently
+    # truncate (ADVICE r3 #3) — clamp on host and surface it in the
+    # diagnostics instead.
+    eps_s = float(np.exp(c[4].log_eps))
+    traj_req = float(np.exp(c[5]))
+    traj_truncated = traj_req > eps_s * max_leapfrog
+    if traj_truncated:
+        c[5] = jnp.log(jnp.asarray(eps_s * max_leapfrog, jnp.float32))
     carry = set_flags(tuple(c), False, False, False)
     carry, (qs, accs, epss, trajs) = drive(carry, n_samples, collect=True)
 
@@ -325,4 +341,5 @@ def run_chees(
         "eps": float(epss[-1]),
         "trajectory_length": float(trajs[-1]),
         "n_leapfrog_bucket": last_l_max[0],
+        "traj_truncated": bool(traj_truncated),
     }

@@ -190,6 +190,9 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
     """
     n_wt = w // tw
     eps = 1e-30
+    # Matches stats_dense.local_solve: the extrapolation needs three
+    # iterates, so below 3 passes accel degenerates to the plain solve.
+    accel = accel and local_iters >= 3
 
     def body_common(rows_ref, up_ref, l0i_ref, l1i_ref, lamb_ref, g_ref,
                     a_ref=None):
@@ -278,49 +281,52 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
                 (jnp.zeros((b, k), jnp.float32),
                  jnp.zeros((b, k), jnp.float32)))
 
+        # With accel the loop runs local_iters-2 passes and the last two
+        # happen UNROLLED below so the Aitken Δ² extrapolation sees three
+        # consecutive iterates without extra while-loop carries: carried
+        # prev0/prev1 initialized from splat constants make Mosaic
+        # resolve the carry layout as lane-replicated and the computed
+        # body output cannot be relayouted back ("Invalid relayout:
+        # non-singleton logical dimension is replicated in destination
+        # but not in source" — measured on v5e, round 4). Identical math
+        # to stats_dense.local_solve(accel=True) whenever local_tol
+        # never early-exits (the measured behavior at real configs).
+        loop_iters = local_iters - 2 if accel else local_iters
+
         def cond(carry):
             it, delta = carry[-2], carry[-1]
-            return jnp.logical_and(it < local_iters, delta > local_tol)
+            return jnp.logical_and(it < loop_iters, delta > local_tol)
 
         def body(carry):
-            if accel:
-                lam0, lam1, prev0, prev1, it, _ = carry
-            else:
-                lam0, lam1, it, _ = carry
+            lam0, lam1, it, _ = carry
             t1, t0 = _exp_elog_beta_inkernel(lam0, lam1)
             # iteration divides may use the fast reciprocal; the final
             # stats pass below always divides exactly
             l0, l1 = one_pass(t1, t0, need_g=False, approx=approx_div)
             new0 = beta_a + t1 * l0
             new1 = beta_b + t0 * l1
-            if accel:
-                # Aitken Δ² at the LAST iteration (stats_dense.
-                # aitken_final, same safe-denominator math): three
-                # consecutive iterates -> geometric limit estimate.
-                # Scalar-predicate select over a (B, K) vector hits a
-                # Mosaic relayout bug ("non-singleton logical dimension
-                # is replicated in destination but not in source"), so
-                # blend arithmetically with a scalar f32 mask instead.
-                from terastructure_tpu.ops.stats_dense import aitken_final
-                m = jnp.logical_and(
-                    it == local_iters - 1, it >= 2).astype(jnp.float32)
-                new0 = new0 + m * (aitken_final(prev0, lam0, new0) - new0)
-                new1 = new1 + m * (aitken_final(prev1, lam1, new1) - new1)
             denom = (jnp.sum(jnp.abs(lam0)) + jnp.sum(jnp.abs(lam1))) / (
                 2.0 * b * k) + 1.0
             delta = (jnp.sum(jnp.abs(new0 - lam0)) + jnp.sum(
                 jnp.abs(new1 - lam1))) / (2.0 * b * k) / denom
-            if accel:
-                return new0, new1, lam0, lam1, it + 1, delta
             return new0, new1, it + 1, delta
 
-        if accel:
-            init = (lam0_init, lam1_init, lam0_init, lam1_init,
-                    jnp.int32(0), jnp.float32(jnp.inf))
-        else:
-            init = (lam0_init, lam1_init, jnp.int32(0),
-                    jnp.float32(jnp.inf))
+        init = (lam0_init, lam1_init, jnp.int32(0),
+                jnp.float32(jnp.inf))
         lam0, lam1 = jax.lax.while_loop(cond, body, init)[:2]
+
+        if accel:
+            from terastructure_tpu.ops.stats_dense import aitken_final
+
+            def plain_pass(l0_, l1_):
+                t1, t0 = _exp_elog_beta_inkernel(l0_, l1_)
+                s0, s1 = one_pass(t1, t0, need_g=False, approx=approx_div)
+                return beta_a + t1 * s0, beta_b + t0 * s1
+
+            mid0, mid1 = plain_pass(lam0, lam1)
+            new0, new1 = plain_pass(mid0, mid1)
+            lam0 = aitken_final(lam0, mid0, new0)
+            lam1 = aitken_final(lam1, mid1, new1)
 
         # --- final pass: gamma statistics + final lambda ----------------
         g_ref[:] = jnp.zeros_like(g_ref)

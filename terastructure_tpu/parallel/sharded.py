@@ -390,7 +390,8 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
         streaming step (rows pre-gathered by the host)."""
         wl = rows.shape[1]
 
-        if want_fused and fused_step.supports(b_local, wl, cfg.k, kdtype):
+        if want_fused and fused_step.supports(b_local, wl, cfg.k, kdtype,
+                                              accel=cfg.local_accel):
             rows_f = rows
             u = ops.exp_elog_theta(gamma_l)
             if u.shape[0] != 4 * wl:

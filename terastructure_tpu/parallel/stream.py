@@ -146,9 +146,13 @@ class ShardedBatchStream:
             self._fill(buf, idx)
             out = jax.device_put(buf, self.sh)
             if self._reuse:
-                # force transfer completion before this buffer is reused
-                # (block_until_ready returns early through the tunnel)
-                np.asarray(jax.device_get(out[:1, :1]))
+                # force transfer completion before this buffer is reused:
+                # fetch one element from EVERY addressable shard — a
+                # device_get of out[:1,:1] only fences the shard feeding
+                # the (0,0) corner (ADVICE r3 #4), and block_until_ready
+                # returns early through the tunnel.
+                for s in out.addressable_shards:
+                    np.asarray(jax.device_get(s.data[:1, :1]))
             return out
 
         # Multi-process: every process contributes only its addressable

@@ -79,9 +79,14 @@ def fit(
     if stream:
         from terastructure_tpu.svi import stream as stream_mod
 
-        if multiproc:
-            raise ValueError("stream=True is a single-process path; "
-                             "use the sharded fit for multi-host")
+        if multiproc and step_fn_factory is None:
+            # Only the DEFAULT single-device streamer is single-process;
+            # parallel.fit_sharded(stream=True) supplies a mesh-aware
+            # factory whose ShardedBatchStream assembles per-process
+            # addressable blocks (parallel/stream.py).
+            raise ValueError("the single-device streamer is a single-"
+                             "process path; use fit_sharded(stream=True) "
+                             "for multi-host")
         if packed is not None:
             raise ValueError("stream=True keeps the host matrix "
                              "host-side; don't pass a device `packed`")

@@ -314,7 +314,14 @@ def make_step(cfg: SVIConfig, l_sample: int | None = None):
         b = cfg.batch_size
         w = packed.shape[1]
         impl = impl_req
-        if impl == "fused" and not fused_step.supports(b, w):
+        kdt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+               else jnp.float32)
+        # Gate with the EXACT kernel parameters (k, dtype, accel) —
+        # fused_local_solve re-validates with them, so a mismatch here
+        # would trade a clean pallas fallback for a trace-time error
+        # (ADVICE r3 #1).
+        if impl == "fused" and not fused_step.supports(
+                b, w, cfg.k, kdt, accel=cfg.local_accel):
             impl = "pallas"
 
         if impl == "fused":
@@ -328,8 +335,7 @@ def make_step(cfg: SVIConfig, l_sample: int | None = None):
             if u.shape[0] != 4 * w:
                 u = jnp.pad(u, ((0, 4 * w - u.shape[0]), (0, 0)),
                             constant_values=1.0)
-            dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-                     else jnp.float32)
+            dtype = kdt
             if use_dma:
                 gidx = jax.random.randint(
                     kb, (b // g_dma,), 0, l_s // g_dma, dtype=jnp.int32)

