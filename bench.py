@@ -75,7 +75,10 @@ def roofline_step_s(cfg, w):
     The bound is max(mxu, vpu, hbm) — they overlap on real hardware.
     """
     b, k, i = cfg.batch_size, cfg.k, cfg.local_iters
-    passes = i + 1                      # measured: tol never early-exits
+    # measured: tol never early-exits; accel runs i-2 looped + 2
+    # unrolled passes + the extrapolation (elementwise, free at this
+    # bound) + final stats pass = the same i+1 total sweeps
+    passes = i + 1
     macs = (2 * passes + 1) * (2 * b) * (4 * w) * k
     mxu_s = 2 * macs / (V5E_MXU_F32_FLOPS * min(k / 128.0, 1.0))
     unpack_ops = 8 * b * (4 * w) * passes
@@ -146,7 +149,9 @@ def main():
     from terastructure_tpu.data.pack import pack2bit
 
     batch = int(os.environ.get("BENCH_BATCH", 4096))
-    accel = os.environ.get("BENCH_ACCEL", "") not in ("", "0")
+    # Default = the SVIConfig defaults (accel7 since round 4);
+    # BENCH_ACCEL=0 + BENCH_ITERS=16 time the plain reference schedule.
+    accel = os.environ.get("BENCH_ACCEL", "1") not in ("", "0")
     iters = int(os.environ.get("BENCH_ITERS",
                                7 if accel else 16))
     cfg = SVIConfig(n=n, l=l, k=k, batch_size=batch, seed=0,

@@ -90,13 +90,16 @@ def main():
                     action="store_false", default=True,
                     help="disable the /tmp simulation cache")
     ap.add_argument("--fast", action="store_true",
-                    help="big-N fast preset: local_iters=10 + "
-                         "approx-reciprocal stats divides (quality A/B in "
-                         "benchmarks/results/bigN_quality_ab.json)")
+                    help="big-N fast preset: approx-reciprocal stats "
+                         "divides (quality A/B in benchmarks/results/"
+                         "bigN_quality_ab.json)")
     ap.add_argument("--accel", action="store_true",
-                    help="Aitken-accelerated local solve: local_accel + "
-                         "local_iters=6 (study in benchmarks/results/"
+                    help="force local_accel on (it is the config default "
+                         "since round 4; study in benchmarks/results/"
                          "local_accel_ab.json)")
+    ap.add_argument("--no-accel", action="store_true",
+                    help="plain reference schedule: local_accel off + "
+                         "local_iters=16")
     ap.add_argument("--local-iters", type=int, default=0,
                     help="override local coordinate-ascent iterations")
     args = ap.parse_args()
@@ -165,9 +168,11 @@ def main():
         snp_group=8, init=args.init_mode,
     )
     if args.fast:
-        cfg = cfg.replace(local_iters=10, stats_approx_div=True)
+        cfg = cfg.replace(stats_approx_div=True)
     if args.accel:
-        cfg = cfg.replace(local_accel=True, local_iters=6)
+        cfg = cfg.replace(local_accel=True)
+    if args.no_accel:
+        cfg = cfg.replace(local_accel=False, local_iters=16)
     if args.local_iters:
         cfg = cfg.replace(local_iters=args.local_iters)
     meter = StepMeter(cfg.batch_size)

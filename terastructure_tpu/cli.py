@@ -38,12 +38,18 @@ def _add_svi_args(p):
                    help="SNP minibatch per iteration")
     p.add_argument("--tau0", type=float, default=1.0)
     p.add_argument("--kappa", type=float, default=0.5)
-    p.add_argument("--local-iters", type=int, default=16)
+    p.add_argument("--local-iters", type=int, default=7,
+                   help="coordinate-ascent passes per minibatch (7 with "
+                        "the default Aitken accel; 16 = reference plain "
+                        "schedule, pair with --no-accel)")
+    p.add_argument("--no-accel", action="store_true",
+                   help="disable the Aitken-accelerated local solve "
+                        "(SVIConfig.local_accel) — the reference's plain "
+                        "fixed-point schedule; pair with --local-iters 16")
     p.add_argument("--fast", action="store_true",
-                   help="big-N throughput preset: local_iters=10 + "
-                        "approx-reciprocal stats divides (+25-40%% "
-                        "SNP-updates/s; quality A/B in benchmarks/"
-                        "results/stats_kernel_ab.json)")
+                   help="big-N throughput preset: approx-reciprocal "
+                        "stats divides (+25-40%% SNP-updates/s; quality "
+                        "A/B in benchmarks/results/stats_kernel_ab.json)")
     p.add_argument("--rfreq", type=int, default=100,
                    help="validation check every rfreq iterations")
     p.add_argument("--max-steps", type=int, default=20000)
@@ -205,8 +211,9 @@ def _cfg_from_args(args, n, l):
         beta_a=args.beta_a, beta_b=args.beta_b,
         batch_size=min(args.batch_size, l),
         tau0=args.tau0, kappa=args.kappa,
-        local_iters=(10 if fast and args.local_iters == 16
-                     else args.local_iters),
+        local_iters=args.local_iters,
+        local_accel=(not getattr(args, "no_accel", False)
+                     and args.local_iters >= 3),
         stats_approx_div=fast,
         rfreq=args.rfreq, max_steps=args.max_steps,
         validation_frac=args.validation_frac,

@@ -55,7 +55,11 @@ class SVIConfig:
     snp_group: int = 1
 
     # Local coordinate-ascent (phi <-> lambda) iterations per minibatch.
-    local_iters: int = 16
+    # Default 7 pairs with local_accel below (5 loop passes + 2 unrolled
+    # feeding the extrapolation); set 16 with local_accel=False for the
+    # reference's plain schedule (SURVEY.md §1.2 "until local
+    # convergence").
+    local_iters: int = 7
     local_tol: float = 1e-4     # mean |delta lambda| early-exit threshold
 
     # Aitken-accelerated local solve: apply one per-coordinate Aitken
@@ -64,8 +68,14 @@ class SVIConfig:
     # slowly (~5e-2 relative lambda error left after 16 passes at
     # TGP-like shapes); 6 passes + one extrapolation land ~7x closer
     # for ~2.6x fewer sweeps (study: benchmarks/results/
-    # local_accel_ab.json). Pair with local_iters≈6-8.
-    local_accel: bool = False
+    # local_accel_ab.json). DEFAULT ON since round 4: with the
+    # ratio-clamped safeguard (aitken_final rmax) the measured
+    # end-to-end quality at the TGP config matches plain16 within MC
+    # error (heldout delta 4e-5 nats, theta MAE 0.00929 vs 0.0099) at
+    # +77% sustained throughput (565.9K vs 319.8K SNP-updates/s/chip,
+    # 1x v5e — benchmarks/results/local_accel_ab.json
+    # "tpu_end_to_end").
+    local_accel: bool = True
 
     # Big-N inner-loop subsampling: run the lambda coordinate-ascent
     # ITERATIONS on a per-step random subsample of this many individuals

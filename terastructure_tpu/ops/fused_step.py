@@ -157,6 +157,13 @@ def pick_config(b: int, w: int, k: int, dtype=jnp.float32, accel=False):
         for tw in (512, 256, 128):
             if w % tw:
                 continue
+            if accel and b >= 4096 and w == tw:
+                # Measured v5e Mosaic crash (compile-helper exit 1, all
+                # acat modes): the accel tail's unrolled passes at a
+                # SINGLE w-tile with b>=4096 kill the compiler; nw>=2 at
+                # the same b and b<=2048 at nw=1 both compile
+                # (benchmarks/results/fused_vmem_probe_accel.json).
+                continue
             if kernel_vmem_bytes(
                     b, w, k, tw=tw, pre=pre, dtype=dtype,
                     accel=accel) <= VMEM_SAFE_BYTES:

@@ -661,22 +661,31 @@ def make_sharded_compute_lambda(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
 
         def solve_block(rows):
             def cond(carry):
-                _, it, delta = carry
+                _, _, it, delta = carry
                 return jnp.logical_and(it < cfg.local_iters,
                                        delta > cfg.local_tol)
 
             def body(carry):
-                lam, it, _ = carry
+                lam, prev, it, _ = carry
                 t1, t0 = ops.exp_elog_beta(lam)
                 l0s, l1s = stats(rows, t1, t0)
                 new = jnp.stack([cfg.beta_a + l0s,
                                  cfg.beta_b + l1s], axis=-1)
+                if cfg.local_accel:
+                    # mirror ops.local_solve's Aitken-at-last schedule
+                    # so sharded compute-beta == the single-device
+                    # post-pass under the accel default
+                    last = jnp.logical_and(it == cfg.local_iters - 1,
+                                           it >= 2)
+                    new = jnp.where(last,
+                                    ops.aitken_final(prev, lam, new), new)
                 delta = (jnp.mean(jnp.abs(new - lam))
                          / (jnp.mean(jnp.abs(lam)) + 1.0))
-                return new, it + 1, delta
+                return new, lam, it + 1, delta
 
-            lam, _, _ = jax.lax.while_loop(
-                cond, body, (lamb0, jnp.int32(0), jnp.float32(jnp.inf)))
+            lam, _, _, _ = jax.lax.while_loop(
+                cond, body,
+                (lamb0, lamb0, jnp.int32(0), jnp.float32(jnp.inf)))
             # final exact update from the converged t's (matches
             # postprocess.solve_lambda_blocks' trailing stats pass)
             t1, t0 = ops.exp_elog_beta(lam)

@@ -36,7 +36,8 @@ def test_fused_matches_dense_cold_start():
     b, n, l, k = 16, 512, 64, 3
     x, packed, gamma, idx = _problem(b, n, l, k)
     cfg = SVIConfig(n=n, l=l, k=k, batch_size=b, local_iters=6,
-                    local_tol=-1.0)   # force the full iteration count
+                    local_tol=-1.0,   # force the full iteration count
+                    local_accel=False)  # plain solve on both sides
 
     # dense reference, cold start from the prior
     xb = unpack2bit_jnp(packed, n)[idx]
@@ -63,7 +64,8 @@ def test_fused_warm_start_matches_dense():
     rng = np.random.default_rng(2)
     lamb_b = jnp.asarray(rng.uniform(0.5, 3.0, (b, k, 2)), jnp.float32)
     cfg = SVIConfig(n=n, l=l, k=k, batch_size=b, local_iters=4,
-                    local_tol=-1.0)
+                    local_tol=-1.0,
+                    local_accel=False)  # plain solve on both sides
     xb = unpack2bit_jnp(packed, n)[idx]
     want_lamb, _ = engine.step_core_dense(cfg, gamma, xb, lamb_b)
     u = ops.exp_elog_theta(gamma)
@@ -148,6 +150,38 @@ def test_vmem_footprint_model_vs_measured_compiles():
         assert fused_step.pick_config(b, w, 8) is not None, (b, w)
 
 
+def test_accel_pick_config_vs_measured_compiles():
+    """Accel variant of the probe-consistency check (VERDICT r3 #1:
+    hardware-calibrate the +2 _KPAD_UNITS accel charges). Ground truth:
+    benchmarks/probe_fused_vmem.py --accel on v5e, recorded in
+    benchmarks/results/fused_vmem_probe_accel.json. Measured Mosaic
+    crash: the accel tail at a SINGLE w-tile with b>=4096 kills the
+    compiler (every acat mode), while nw>=2 at b=4096 and nw=1 at
+    b<=2048 compile — pick_config must route around it."""
+    f32 = jnp.float32
+    # measured-compiling picked configs (probe grid, accel=True)
+    compiled = [
+        (1024, 640, 128, "bf16"), (2048, 640, 128, "bf16"),
+        (4096, 640, 128, "i8"),
+        (1024, 1280, 256, "bf16"), (2048, 1280, 128, "bf16"),
+        (1024, 2560, 256, "bf16"), (4096, 256, 128, "bf16"),
+        (1024, 128, 128, "bf16"), (2048, 128, 128, "bf16"),
+    ]
+    for b, w, tw, pre in compiled:
+        assert fused_step.kernel_vmem_bytes(
+            b, w, 8, tw=tw, pre=pre, dtype=f32,
+            accel=True) <= fused_step.VMEM_SAFE_BYTES, (b, w, tw, pre)
+
+    # the measured compiler crash: b>=4096 at nw=1 never gets picked
+    assert fused_step.pick_config(4096, 128, 8, accel=True) is None
+    got = fused_step.pick_config(4096, 256, 8, accel=True)
+    assert got is not None and got[0] < 256           # nw >= 2
+    # small-b nw=1 is fine
+    assert fused_step.pick_config(1024, 128, 8, accel=True) is not None
+    # flagship shape keeps its accel config
+    assert fused_step.pick_config(4096, 640, 8, accel=True) is not None
+
+
 def test_pick_config_covers_bench_shapes():
     """Every shape the benches/drivers use must get SOME fused config.
     The flagship B=4096 W=640 shape doesn't fit the bf16 acat scratch
@@ -168,7 +202,8 @@ def test_fused_acat_i8_matches_dense():
     b, n, l, k = 16, 512, 64, 3
     x, packed, gamma, idx = _problem(b, n, l, k, seed=7)
     cfg = SVIConfig(n=n, l=l, k=k, batch_size=b, local_iters=6,
-                    local_tol=-1.0)
+                    local_tol=-1.0,
+                    local_accel=False)  # plain solve on both sides
     xb = unpack2bit_jnp(packed, n)[idx]
     lamb_prior = jnp.ones((b, k, 2), jnp.float32)
     want_lamb, want_gstat = engine.step_core_dense(cfg, gamma, xb, lamb_prior)

@@ -201,24 +201,37 @@ def test_idfile_overrides_output_labels(tmp_path):
 
 
 def test_cli_fast_preset_maps_to_config():
-    """--fast maps to local_iters=10 + stats_approx_div (and an explicit
-    --local-iters overrides the preset's iteration count)."""
+    """--fast maps to stats_approx_div; defaults are accel7; --no-accel
+    + --local-iters 16 recover the reference's plain schedule."""
     import terastructure_tpu.cli as c
 
     ns = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
                      "-k", "2", "--fast"])
     cfg = c._cfg_from_args(ns, 64, 128)
-    assert cfg.local_iters == 10 and cfg.stats_approx_div
+    assert cfg.local_iters == 7 and cfg.stats_approx_div
+    assert cfg.local_accel
 
     ns2 = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
                       "-k", "2"])
     cfg2 = c._cfg_from_args(ns2, 64, 128)
-    assert cfg2.local_iters == 16 and not cfg2.stats_approx_div
+    assert cfg2.local_iters == 7 and cfg2.local_accel
+    assert not cfg2.stats_approx_div
 
     ns3 = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
                       "-k", "2", "--fast", "--local-iters", "12"])
     cfg3 = c._cfg_from_args(ns3, 64, 128)
     assert cfg3.local_iters == 12 and cfg3.stats_approx_div
+
+    ns4 = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
+                      "-k", "2", "--no-accel", "--local-iters", "16"])
+    cfg4 = c._cfg_from_args(ns4, 64, 128)
+    assert cfg4.local_iters == 16 and not cfg4.local_accel
+
+    # accel needs three iterates — degenerate iteration counts fall back
+    ns5 = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
+                      "-k", "2", "--local-iters", "2"])
+    cfg5 = c._cfg_from_args(ns5, 64, 128)
+    assert not cfg5.local_accel
 
 
 def _parse_cli(argv):

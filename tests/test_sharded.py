@@ -211,15 +211,21 @@ def test_fused_kernel_rejects_sharded_ind_axis():
         sharded.make_sharded_step(cfg, plan, mesh)
 
 
-def test_pallas_sharded_matches_dense_sharded():
+@pytest.mark.parametrize("accel,tol", [(False, 2e-3), (True, 2e-2)])
+def test_pallas_sharded_matches_dense_sharded(accel, tol):
     """Per-iteration Pallas branch under shard_map with ind=2 (psum
     between kernel calls) == dense sharded path on the same plan/stream.
-    This is the multi-host big-N hot path (interpret-mode on CPU)."""
+    This is the multi-host big-N hot path (interpret-mode on CPU).
+
+    With accel the Aitken extrapolation amplifies kernel-vs-dense f32
+    rounding wherever the contraction ratio nears the rmax clamp
+    (measured ~1.2% on 6/384 lambda coords), hence the looser bound."""
     n, l, k = 64, 64, 3
     data = _mk(n, l, k, 11)
     mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=2, snp=2))
     cfg_pk = SVIConfig(n=n, l=l, k=k, batch_size=32, seed=11,
-                      kernel="pallas", lambda_mode="stored", local_iters=6)
+                      kernel="pallas", lambda_mode="stored", local_iters=6,
+                      local_accel=accel)
     plan = sharded.make_plan(cfg_pk, mesh)
     assert plan.n_padded == 1024          # 512*ind quantum
     _, packed = sharded.prepare(cfg_pk, data, mesh)
@@ -234,18 +240,26 @@ def test_pallas_sharded_matches_dense_sharded():
             s = step(s, packed)
         outs[kern] = (np.asarray(s.gamma)[:n], np.asarray(s.lamb)[:l])
     np.testing.assert_allclose(outs["pallas"][0], outs["dense"][0],
-                               rtol=2e-3, atol=2e-3)
+                               rtol=tol, atol=tol)
     np.testing.assert_allclose(outs["pallas"][1], outs["dense"][1],
-                               rtol=2e-3, atol=2e-3)
+                               rtol=tol, atol=tol)
 
 
-def test_sharded_compute_lambda_matches_unsharded():
+@pytest.mark.parametrize("accel,tol", [(False, 1e-4), (True, 1e-2)])
+def test_sharded_compute_lambda_matches_unsharded(accel, tol):
     """compute-beta core under shard_map (ind=2 x snp=2, psum'ed
-    lambda stats) == the single-device post-pass."""
+    lambda stats) == the single-device post-pass.
+
+    Plain solve: tight tolerance (same math, different summation
+    order). Accel: the Aitken step d1^2/(d0-d1) amplifies the psum-vs-
+    single-dot f32 ordering noise wherever the contraction ratio nears
+    the rmax clamp, so the equivalence tolerance is looser (measured
+    max rel ~3e-3 on a handful of coordinates)."""
     from terastructure_tpu.svi.postprocess import compute_lambda
 
     n, l, k = 64, 48, 3
-    cfg = SVIConfig(n=n, l=l, k=k, batch_size=16, seed=13, local_iters=8)
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=16, seed=13, local_iters=8,
+                    local_accel=accel)
     data = _mk(n, l, k, 13)
     mesh = meshlib.make_mesh(meshlib.MeshSpec(ind=2, snp=2))
     plan, packed = sharded.prepare(cfg, data, mesh)
@@ -257,7 +271,7 @@ def test_sharded_compute_lambda_matches_unsharded():
     gamma_host = np.asarray(state.gamma)[:n]
     lamb_ref = np.asarray(compute_lambda(
         cfg, jnp.asarray(gamma_host), np.asarray(data.packed), block=8))
-    np.testing.assert_allclose(lamb_sh, lamb_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(lamb_sh, lamb_ref, rtol=tol, atol=tol)
 
 
 def test_compiled_step_collectives_match_dataflow_model():
