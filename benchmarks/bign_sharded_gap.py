@@ -65,18 +65,26 @@ def main():
 
     t0 = time.time()
     pk_dev, _ = simulate_packed_device_resident(n, l, k, seed=args.seed)
-    jax.block_until_ready(pk_dev)
+    float(np.asarray(jax.device_get(pk_dev[:1, :1]))[0, 0])  # completion fence
     out["sim_s"] = round(time.time() - t0, 1)
     print("sim done", out["sim_s"], "s", file=sys.stderr, flush=True)
+
+    def fence(st):
+        # axon's block_until_ready does not wait for remote execution;
+        # a scalar device_get is the only reliable completion fence
+        # (same convention as profile_fused.py / StepMeter).
+        import numpy as _np
+
+        return float(_np.asarray(jax.device_get(st.gamma[:1, :1]))[0, 0])
 
     def timed(tag, init_fn, chunk_fn, packed):
         st = init_fn()
         st = chunk_fn(st, packed)                       # compile + warm
-        jax.block_until_ready(st.gamma)
+        fence(st)
         st = init_fn()
         t0 = time.time()
         st = chunk_fn(st, packed)
-        jax.block_until_ready(st.gamma)
+        fence(st)
         dt = time.time() - t0
         rate = args.steps * b / dt
         out[tag] = {"wall_s": round(dt, 2),

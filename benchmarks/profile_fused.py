@@ -111,8 +111,15 @@ def phases(args):
     st = chunk(st, packed)
     float(jnp.asarray(st.gamma)[0, 0])
     res["engine_step_ms"] = round((time.perf_counter() - t0) / reps * 1e3, 3)
-    res["glue_ms"] = round(
-        res["engine_step_ms"] - res["kernel_ms_iters16"], 3)
+    # glue vs the kernel timing that matches the engine's actual config
+    # (accel7 default since round 4; plain16 when accel is off)
+    kernel_ms = (res["kernel_ms_iters7_accel"] if cfg.local_accel
+                 and cfg.local_iters == 7 else
+                 res.get(f"kernel_ms_iters{cfg.local_iters}",
+                         res["kernel_ms_iters16"]))
+    res["engine_cfg"] = (f"accel{cfg.local_iters}" if cfg.local_accel
+                         else f"plain{cfg.local_iters}")
+    res["glue_ms"] = round(res["engine_step_ms"] - kernel_ms, 3)
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "results", "fused_phase_budget.json")
