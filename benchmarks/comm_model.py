@@ -126,10 +126,13 @@ def main():
     meas = measured_collective_bytes()
     out = dict(measured_hlo_collectives=meas)
     # config 5 target: N=1M, L=1M, K=10, B=4096. Single-chip step time
-    # from the measured 100Kx100K regime (11.5 ms at B=4096, BASELINE.md)
-    # scaled x10 in N (stats cost is linear in local N).
+    # is now a DIRECT round-4 measurement: 57.7 ms/step at N=1,000,448
+    # x L=32,768 B=4096 K=10 on the sharded mesh-1x1 step with the
+    # accel7 default (benchmarks/results/bign_sharded_gap.json; the
+    # step cost is L-independent — per-step work is O(B*N*K)).
+    # iters_eff=8 matches accel7's 7 passes + final stats pass.
     out["projection_config5"] = projected_efficiency(
-        step_ms_1chip=115.0, n=1_000_000, k=10, b=4096)
+        step_ms_1chip=57.7, n=1_000_000, k=10, b=4096, iters_eff=8)
     print(json.dumps(out, indent=1))
 
 
