@@ -220,12 +220,21 @@ def _run(cfg, packed, n, steps):
     float(state.gamma[0, 0])
     log(f"compile+warmup {time.time()-t0:.1f}s")
 
+    # Steady-state measurement: several chunk dispatches back-to-back
+    # with ONE final host sync — exactly how the fit loop runs between
+    # rfreq evals. A single synced chunk pays the full ~33 ms tunnel
+    # round-trip per dispatch (measured: 1.93 ms/step at 1 chunk vs
+    # 1.50 at 8 pipelined, chunk-length ladder in docs/design.md);
+    # pipelining overlaps it with device execution.
+    nchunks = int(os.environ.get("BENCH_CHUNKS", 8))
     t0 = time.time()
-    state = run_chunk(state, packed_dev)
+    for _ in range(nchunks):
+        state = run_chunk(state, packed_dev)
     float(state.gamma[0, 0])
     dt = time.time() - t0
-    tpu_rate = cfg.batch_size * steps / dt
-    log(f"TPU: {steps} steps in {dt:.2f}s -> {tpu_rate:,.0f} SNP-updates/s")
+    tpu_rate = cfg.batch_size * steps * nchunks / dt
+    log(f"TPU: {nchunks}x{steps} steps in {dt:.2f}s -> "
+        f"{tpu_rate:,.0f} SNP-updates/s")
 
     # ---- CPU numpy baseline (same algorithm) ---------------------------
     # The baseline always runs the reference's PLAIN 16-pass local solve
