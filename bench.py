@@ -236,6 +236,20 @@ def _run(cfg, packed, n, steps):
     log(f"TPU: {nchunks}x{steps} steps in {dt:.2f}s -> "
         f"{tpu_rate:,.0f} SNP-updates/s")
 
+    # Like-for-like with rounds 1-3 (VERDICT r4 weak #2): one chunk,
+    # one host sync — pays the full per-dispatch tunnel round-trip.
+    # Reported alongside the pipelined headline so cross-round
+    # comparisons never depend on knowing which methodology ran.
+    single_dt = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        state = run_chunk(state, packed_dev)
+        float(state.gamma[0, 0])
+        single_dt = min(single_dt, time.time() - t0)
+    single_rate = cfg.batch_size * steps / single_dt
+    log(f"TPU single-sync: {steps} steps in {single_dt:.2f}s -> "
+        f"{single_rate:,.0f} SNP-updates/s (r1-r3 methodology)")
+
     # ---- CPU numpy baseline (same algorithm) ---------------------------
     # The baseline always runs the reference's PLAIN 16-pass local solve
     # (the accel lever is ours, not the reference's) with the pinned
@@ -267,6 +281,14 @@ def _run(cfg, packed, n, steps):
         "unit": "SNP-updates/s",
         "vs_baseline": round(tpu_rate / base_rate, 2),
         "roofline_frac": roofline_frac,
+        # methodology record (VERDICT r4 weak #2 / ADVICE r4 #4):
+        # `value` is pipelined over nchunks dispatches with one final
+        # sync; `value_single_sync` is the r1-r3 one-chunk-one-sync
+        # number — compare rounds on matching fields.
+        "value_single_sync": round(single_rate, 1),
+        "nchunks": nchunks,
+        "accel": cfg.local_accel,
+        "local_iters": cfg.local_iters,
     }))
 
 

@@ -86,14 +86,16 @@ def measured_collective_bytes(n=256, l=1024, k=4, batch=128, ind=2, snp=4):
     summary = {kind: dict(count=len(v), bytes=sum(v))
                for kind, v in ops.items()}
     # analytic check (per compiled program = ONE step):
-    iters = cfg.local_iters + 1            # while_loop body + final stats
+    iters = cfg.local_iters + 1            # solve passes + final stats
     lam_bytes = 2 * (batch // snp) * k * 4 * (iters if ind > 1 else 0)
     gam_bytes = (n // ind) * k * 4
     summary["model"] = dict(
         lambda_psum_bytes_max=lam_bytes, gamma_psum_bytes=gam_bytes,
-        note="the lambda-pair all-reduce sits in the while body, so the"
-             " static HLO shows it ONCE; runtime volume is bytes x"
-             " iterations (early exit typically ~5-8 of the 16 cap)")
+        note="one lambda-pair all-reduce sits in the while body (static"
+             " HLO shows it ONCE; runtime volume is bytes x iterations)"
+             " and, under the accel default, the two UNROLLED Aitken"
+             " tail passes each carry their own — so the static count"
+             " is 1 gamma + 3 lambda ARs for the same dataflow")
     return summary
 
 

@@ -38,14 +38,20 @@ def _add_svi_args(p):
                    help="SNP minibatch per iteration")
     p.add_argument("--tau0", type=float, default=1.0)
     p.add_argument("--kappa", type=float, default=0.5)
-    p.add_argument("--local-iters", type=int, default=7,
-                   help="coordinate-ascent passes per minibatch (7 with "
-                        "the default Aitken accel; 16 = reference plain "
-                        "schedule, pair with --no-accel)")
+    p.add_argument("--local-iters", type=int, default=None,
+                   help="coordinate-ascent passes per minibatch. Default "
+                        "7 with the Aitken accel (or 16 plain under "
+                        "--no-accel). An EXPLICIT value runs the plain "
+                        "schedule unless paired with --accel — only the "
+                        "accel7/plain16 points carry A/B quality data")
+    p.add_argument("--accel", action="store_true",
+                   help="pair an explicit --local-iters with the Aitken-"
+                        "accelerated schedule (accel is the default only "
+                        "at the studied --local-iters 7 point)")
     p.add_argument("--no-accel", action="store_true",
                    help="disable the Aitken-accelerated local solve "
                         "(SVIConfig.local_accel) — the reference's plain "
-                        "fixed-point schedule; pair with --local-iters 16")
+                        "fixed-point schedule (16 passes by default)")
     p.add_argument("--fast", action="store_true",
                    help="big-N throughput preset: approx-reciprocal "
                         "stats divides (+25-40%% SNP-updates/s; quality "
@@ -206,14 +212,30 @@ def _cfg_from_args(args, n, l):
     from terastructure_tpu.config import SVIConfig
 
     fast = getattr(args, "fast", False)
+    # Accel pairing (ADVICE r4): the accel default applies only at the
+    # studied accel7 point. An explicit --local-iters runs the plain
+    # schedule unless --accel opts the extrapolation back in — so a
+    # pre-round-4 `--local-iters 16` invocation still means plain16, not
+    # a silent accel16 with no A/B data behind it.
+    no_accel = getattr(args, "no_accel", False)
+    want_accel = getattr(args, "accel", False)
+    explicit_iters = args.local_iters is not None
+    accel = (not no_accel) and (want_accel or not explicit_iters)
+    iters = (args.local_iters if explicit_iters
+             else (7 if accel else 16))
+    if accel and iters < 3:
+        accel = False              # extrapolation needs three iterates
+    if explicit_iters and not (want_accel or no_accel):
+        print(f"note: --local-iters {iters} runs the PLAIN fixed-point "
+              "schedule; add --accel for the Aitken-accelerated solve "
+              "or --no-accel to silence this note", file=sys.stderr)
     return SVIConfig(
         n=n, l=l, k=args.k, alpha=args.alpha,
         beta_a=args.beta_a, beta_b=args.beta_b,
         batch_size=min(args.batch_size, l),
         tau0=args.tau0, kappa=args.kappa,
-        local_iters=args.local_iters,
-        local_accel=(not getattr(args, "no_accel", False)
-                     and args.local_iters >= 3),
+        local_iters=iters,
+        local_accel=accel,
         stats_approx_div=fast,
         rfreq=args.rfreq, max_steps=args.max_steps,
         validation_frac=args.validation_frac,

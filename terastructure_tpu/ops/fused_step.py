@@ -295,9 +295,12 @@ def _make_kernel(*, b, w, k, tw, local_iters, local_tol, beta_a, beta_b,
         # resolve the carry layout as lane-replicated and the computed
         # body output cannot be relayouted back ("Invalid relayout:
         # non-singleton logical dimension is replicated in destination
-        # but not in source" — measured on v5e, round 4). Identical math
-        # to stats_dense.local_solve(accel=True) whenever local_tol
-        # never early-exits (the measured behavior at real configs).
+        # but not in source" — measured on v5e, round 4). Since round 5
+        # every other path runs this SAME schedule
+        # (stats_dense.solve_schedule: tol-gated loop capped at
+        # local_iters-2, then two always-run tail passes + Aitken), so
+        # the math is identical to local_solve(accel=True) even when
+        # local_tol fires mid-loop.
         loop_iters = local_iters - 2 if accel else local_iters
 
         def cond(carry):

@@ -506,37 +506,26 @@ def local_solve_acat(rows, u, lamb_b, *, beta_a, beta_b, local_iters,
                      accel=False):
     """local_solve_packed with the counts decoded ONCE up front.
 
-    Same math, same returns; the while_loop iterates lambda_stats_acat
+    Same math, same returns; the schedule iterates lambda_stats_acat
     over the pre-decoded planes instead of re-unpacking rows each pass.
     """
     from terastructure_tpu.models.psd import elog_beta
-    from terastructure_tpu.ops.stats_dense import aitken_final
+    from terastructure_tpu.ops.stats_dense import solve_schedule
 
     u_planes = u_to_planes(u)
     a1, a0 = decode_count_planes(rows)
 
-    def cond(carry):
-        lam, _, it, delta = carry
-        return jnp.logical_and(it < local_iters, delta > local_tol)
-
-    def body(carry):
-        lam, prev, it, _ = carry
+    def iterate(lam):
         e1, e0 = elog_beta(lam)
         t1, t0 = jnp.exp(e1), jnp.exp(e0)
         l0, l1 = lambda_stats_acat(
             a1, a0, u_planes, t1, t0, tb=tb, tw=tw, dtype=dtype,
             interpret=interpret, approx_div=approx_div)
-        new = jnp.stack([beta_a + stat_scale * t1 * l0,
+        return jnp.stack([beta_a + stat_scale * t1 * l0,
                          beta_b + stat_scale * t0 * l1], axis=-1)
-        if accel:
-            last = jnp.logical_and(it == local_iters - 1, it >= 2)
-            new = jnp.where(last, aitken_final(prev, lam, new), new)
-        delta = jnp.mean(jnp.abs(new - lam)) / (jnp.mean(jnp.abs(lam)) + 1.0)
-        return new, lam, it + 1, delta
 
-    lam, _, _, _ = jax.lax.while_loop(
-        cond, body, (lamb_b, lamb_b, jnp.int32(0), jnp.float32(jnp.inf)))
-    return lam
+    return solve_schedule(iterate, lamb_b, local_iters=local_iters,
+                          local_tol=local_tol, accel=accel)
 
 
 def local_solve_packed(rows, u, lamb_b, *, beta_a, beta_b, local_iters,
@@ -552,32 +541,21 @@ def local_solve_packed(rows, u, lamb_b, *, beta_a, beta_b, local_iters,
     full-population solve (engine.step_core_packed).
     """
     from terastructure_tpu.models.psd import elog_beta
-    from terastructure_tpu.ops.stats_dense import aitken_final
+    from terastructure_tpu.ops.stats_dense import solve_schedule
 
     u_planes = u_to_planes(u)
 
-    def cond(carry):
-        lam, _, it, delta = carry
-        return jnp.logical_and(it < local_iters, delta > local_tol)
-
-    def body(carry):
-        lam, prev, it, _ = carry
+    def iterate(lam):
         e1, e0 = elog_beta(lam)
         t1, t0 = jnp.exp(e1), jnp.exp(e0)
         l0, l1 = lambda_stats_packed(
             rows, u_planes, t1, t0, tb=tb, tw=tw, dtype=dtype,
             interpret=interpret, approx_div=approx_div)
-        new = jnp.stack([beta_a + stat_scale * t1 * l0,
+        return jnp.stack([beta_a + stat_scale * t1 * l0,
                          beta_b + stat_scale * t0 * l1], axis=-1)
-        if accel:
-            last = jnp.logical_and(it == local_iters - 1, it >= 2)
-            new = jnp.where(last, aitken_final(prev, lam, new), new)
-        delta = jnp.mean(jnp.abs(new - lam)) / (jnp.mean(jnp.abs(lam)) + 1.0)
-        return new, lam, it + 1, delta
 
-    lam, _, _, _ = jax.lax.while_loop(
-        cond, body, (lamb_b, lamb_b, jnp.int32(0), jnp.float32(jnp.inf)))
-    return lam
+    return solve_schedule(iterate, lamb_b, local_iters=local_iters,
+                          local_tol=local_tol, accel=accel)
 
 
 def batch_stats_packed(rows, u, t1, t0, *, tb, tw, dtype=jnp.bfloat16,

@@ -332,29 +332,12 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
             def iter_sub(lam):
                 return one_iter(lam, rows_it, u_it, tw_it, scale)
 
-        def cond(carry):
-            _, _, it, delta = carry
-            return jnp.logical_and(it < cfg.local_iters,
-                                   delta > cfg.local_tol)
-
-        def body(carry):
-            lam, prev, it, _ = carry
-            new = iter_sub(lam)
-            if cfg.local_accel:
-                # Aitken final extrapolation (stats_dense.aitken_final)
-                # — the psum'ed stats make iterates identical across
-                # 'ind' shards, so the extrapolation stays in lockstep.
-                last = jnp.logical_and(it == cfg.local_iters - 1,
-                                       it >= 2)
-                new = jnp.where(
-                    last, ops.aitken_final(prev, lam, new), new)
-            delta = (jnp.mean(jnp.abs(new - lam))
-                     / (jnp.mean(jnp.abs(lam)) + 1.0))
-            return new, lam, it + 1, delta
-
-        lamb_b, _, _, _ = jax.lax.while_loop(
-            cond, body,
-            (lamb_b, lamb_b, jnp.int32(0), jnp.float32(jnp.inf)))
+        # Unified tol/accel schedule (stats_dense.solve_schedule) — the
+        # psum'ed stats make iterates identical across 'ind' shards, so
+        # the loop exit and Aitken tail stay in lockstep.
+        lamb_b = ops.solve_schedule(
+            iter_sub, lamb_b, local_iters=cfg.local_iters,
+            local_tol=cfg.local_tol, accel=cfg.local_accel)
         if use_sub and cfg.local_refine_full:
             # Optional exact full-N refinement before the final stats.
             # Must honor cfg.local_refine_full exactly like the engine
@@ -660,32 +643,18 @@ def make_sharded_compute_lambda(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
             return psum_ind(l0r), psum_ind(l1r)
 
         def solve_block(rows):
-            def cond(carry):
-                _, _, it, delta = carry
-                return jnp.logical_and(it < cfg.local_iters,
-                                       delta > cfg.local_tol)
-
-            def body(carry):
-                lam, prev, it, _ = carry
+            def iterate(lam):
                 t1, t0 = ops.exp_elog_beta(lam)
                 l0s, l1s = stats(rows, t1, t0)
-                new = jnp.stack([cfg.beta_a + l0s,
-                                 cfg.beta_b + l1s], axis=-1)
-                if cfg.local_accel:
-                    # mirror ops.local_solve's Aitken-at-last schedule
-                    # so sharded compute-beta == the single-device
-                    # post-pass under the accel default
-                    last = jnp.logical_and(it == cfg.local_iters - 1,
-                                           it >= 2)
-                    new = jnp.where(last,
-                                    ops.aitken_final(prev, lam, new), new)
-                delta = (jnp.mean(jnp.abs(new - lam))
-                         / (jnp.mean(jnp.abs(lam)) + 1.0))
-                return new, lam, it + 1, delta
+                return jnp.stack([cfg.beta_a + l0s,
+                                  cfg.beta_b + l1s], axis=-1)
 
-            lam, _, _, _ = jax.lax.while_loop(
-                cond, body,
-                (lamb0, lamb0, jnp.int32(0), jnp.float32(jnp.inf)))
+            # Unified schedule (stats_dense.solve_schedule) so sharded
+            # compute-beta == the single-device post-pass under the
+            # accel default (Aitken tail hoisted out of the loop).
+            lam = ops.solve_schedule(
+                iterate, lamb0, local_iters=cfg.local_iters,
+                local_tol=cfg.local_tol, accel=cfg.local_accel)
             # final exact update from the converged t's (matches
             # postprocess.solve_lambda_blocks' trailing stats pass)
             t1, t0 = ops.exp_elog_beta(lam)

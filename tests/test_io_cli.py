@@ -201,8 +201,9 @@ def test_idfile_overrides_output_labels(tmp_path):
 
 
 def test_cli_fast_preset_maps_to_config():
-    """--fast maps to stats_approx_div; defaults are accel7; --no-accel
-    + --local-iters 16 recover the reference's plain schedule."""
+    """--fast maps to stats_approx_div; defaults are accel7; an explicit
+    --local-iters runs the plain schedule unless paired with --accel
+    (ADVICE r4: no silent accel16); --no-accel alone means plain16."""
     import terastructure_tpu.cli as c
 
     ns = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
@@ -217,19 +218,33 @@ def test_cli_fast_preset_maps_to_config():
     assert cfg2.local_iters == 7 and cfg2.local_accel
     assert not cfg2.stats_approx_div
 
+    # explicit iters WITHOUT --accel: plain schedule (pre-round-4
+    # invocations like --local-iters 16 keep their meaning)
     ns3 = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
                       "-k", "2", "--fast", "--local-iters", "12"])
     cfg3 = c._cfg_from_args(ns3, 64, 128)
     assert cfg3.local_iters == 12 and cfg3.stats_approx_div
+    assert not cfg3.local_accel
+
+    ns3b = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
+                       "-k", "2", "--local-iters", "12", "--accel"])
+    cfg3b = c._cfg_from_args(ns3b, 64, 128)
+    assert cfg3b.local_iters == 12 and cfg3b.local_accel
 
     ns4 = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
                       "-k", "2", "--no-accel", "--local-iters", "16"])
     cfg4 = c._cfg_from_args(ns4, 64, 128)
     assert cfg4.local_iters == 16 and not cfg4.local_accel
 
+    # --no-accel alone: the reference plain schedule at 16 passes
+    ns4b = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
+                       "-k", "2", "--no-accel"])
+    cfg4b = c._cfg_from_args(ns4b, 64, 128)
+    assert cfg4b.local_iters == 16 and not cfg4b.local_accel
+
     # accel needs three iterates — degenerate iteration counts fall back
     ns5 = _parse_cli(["fit", "--simulate", "-n", "64", "-l", "128",
-                      "-k", "2", "--local-iters", "2"])
+                      "-k", "2", "--local-iters", "2", "--accel"])
     cfg5 = c._cfg_from_args(ns5, 64, 128)
     assert not cfg5.local_accel
 

@@ -344,3 +344,29 @@ def test_chees_gaussian_covariance():
     np.testing.assert_allclose(z.mean(0), [0, 0], atol=0.12)
     np.testing.assert_allclose(np.cov(z.T), np.asarray(cov), atol=0.15)
     assert info["trajectory_length"] > 2 * info["eps"]
+
+
+def test_chees_traj_mult_truncation_clamps_and_reports():
+    """A huge sample_traj_mult must clamp the sampling trajectory to
+    eps * max_leapfrog (the per-chunk leapfrog bucket cap) and surface
+    traj_truncated=True in the diagnostics; a modest multiplier at an
+    ample max_leapfrog reports False (pins the ADVICE r3 #3 fix)."""
+    from terastructure_tpu.mcmc.chees import run_chees
+
+    def log_prob(params):
+        z = params["z"]
+        return -0.5 * jnp.sum(z * z)
+
+    C = 8
+    init = {"z": 0.1 * jax.random.normal(jax.random.PRNGKey(2), (C, 2))}
+    kw = dict(n_samples=20, n_warmup=60, n_chains=C, dispatch_chunk=20)
+
+    _, info_big = run_chees(jax.random.PRNGKey(3), log_prob, init,
+                            sample_traj_mult=1e6, max_leapfrog=64, **kw)
+    assert info_big["traj_truncated"] is True
+    # trajectory actually capped at eps * max_leapfrog
+    assert info_big["trajectory_length"] <= info_big["eps"] * 64 * 1.001
+
+    _, info_ok = run_chees(jax.random.PRNGKey(3), log_prob, init,
+                           sample_traj_mult=1.0, max_leapfrog=1024, **kw)
+    assert info_ok["traj_truncated"] is False
