@@ -99,27 +99,165 @@ def measured_collective_bytes(n=256, l=1024, k=4, batch=128, ind=2, snp=4):
     return summary
 
 
+def _parse_hlo_computations(hlo: str):
+    """HLO text -> {computation_name: [(instr, opcode, [operands])]}.
+
+    Operands are the %tokens inside the opcode's first balanced paren
+    group (attribute references like calls=%fused... come after it and
+    are excluded on purpose — we want DATAFLOW edges only)."""
+    comps = {}
+    cur = None
+    instr_re = re.compile(
+        r"^\s*(?:ROOT\s+)?(%?[\w\.\-]+)\s*=\s*(.*?)\s([\w\-]+)\((.*)")
+    for line in hlo.splitlines():
+        # computation headers start at column 0 and end with "{";
+        # instruction lines are indented (the header's param list may
+        # contain '=' inside /*index=N*/ comments, so don't key on '=')
+        if (line and not line[0].isspace()
+                and line.rstrip().endswith("{")):
+            name = line.strip().split(" ")[0]
+            if name == "ENTRY":
+                name = line.strip().split(" ")[1]
+            cur = comps.setdefault(name.lstrip("%") or "entry", [])
+            continue
+        if line.strip() == "}":
+            cur = None
+            continue
+        if cur is None:
+            continue
+        m = instr_re.match(line)
+        if not m:
+            continue
+        instr, rtype, opcode, rest = m.groups()
+        # operand section: up to the matching close paren
+        depth, end = 1, len(rest)
+        for i, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        operands = re.findall(r"%([\w\.\-]+)", rest[:end])
+        cur.append((instr.lstrip("%"), rtype.strip(), opcode, operands))
+    return comps
+
+
+def overlap_report(n=256, l=1024, k=4, batch=128, ind=2, snp=4, nsteps=3):
+    """Verify, at the HLO level, that the pipelined chunk runner's
+    next-step minibatch gather is dataflow-INDEPENDENT of the gamma
+    all-reduce — the structural property that lets the latency-hiding
+    scheduler start the collective before the gather and finish it
+    after (async all-reduce spanning real work on TPU).
+
+    Returns {gamma_ar: instr, rows_producers: [...],
+    rows_depend_on_allreduce: bool} for the while-body computation of
+    the compiled chunk."""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={ind * snp}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from terastructure_tpu.config import SVIConfig
+    from terastructure_tpu.data.dataset import GenotypeData
+    from terastructure_tpu.data.simulate import simulate_psd
+    from terastructure_tpu.parallel import mesh as meshlib
+    from terastructure_tpu.parallel import sharded
+    from terastructure_tpu.data.pack import packed_width
+
+    cfg = SVIConfig(n=n, l=l, k=k, batch_size=batch, seed=0,
+                    ind_shards=ind, snp_shards=snp)
+    _, _, x = simulate_psd(n, l, k, seed=0)
+    data = GenotypeData.from_dense(x, validation_frac=0.01,
+                                   heldout_frac=0.0, seed=0)
+    mesh = meshlib.make_mesh(meshlib.choose_mesh_shape(ind * snp, ind, snp))
+    plan, packed = sharded.prepare(cfg, data, mesh)
+    state = sharded.init_sharded_state(cfg, plan, mesh)
+    chunk = sharded.make_sharded_run_chunk(cfg, plan, mesh, nsteps)
+    hlo = chunk.lower(state, packed).compile().as_text()
+    comps = _parse_hlo_computations(hlo)
+
+    gamma_shape = f"f32[{plan.n_padded // ind},{k}]"
+    rows_shape = (f"u8[{batch // snp},"
+                  f"{packed_width(plan.n_padded) // ind}]")
+    report = {"gamma_ar": None, "rows_producers": [],
+              "rows_depend_on_allreduce": None, "body": None}
+    for cname, instrs in comps.items():
+        ars = [i for i in instrs
+               if i[2].startswith("all-reduce")
+               and i[1].replace("{1,0}", "").strip() == gamma_shape]
+        rows = [i for i in instrs
+                if i[1].replace("{1,0}", "").strip() == rows_shape
+                and i[2] not in ("parameter", "get-tuple-element",
+                                 "copy", "tuple")]
+        if not ars or not rows:
+            continue
+        # BFS forward from the all-reduce through dataflow edges
+        users = {}
+        for name, _, _, operands in instrs:
+            for op in operands:
+                users.setdefault(op, []).append(name)
+        reach = set()
+        frontier = [a[0] for a in ars]
+        while frontier:
+            cur = frontier.pop()
+            for u in users.get(cur, []):
+                if u not in reach:
+                    reach.add(u)
+                    frontier.append(u)
+        depend = any(r[0] in reach for r in rows)
+        report.update(
+            gamma_ar=ars[0][0], rows_producers=[r[0] for r in rows],
+            rows_depend_on_allreduce=depend, body=cname)
+        break
+    return report
+
+
 def projected_efficiency(step_ms_1chip, n, k, b, iters_eff=8,
-                         ici_gbps=45.0):
+                         ici_gbps=45.0, w_bytes=None, hbm_gbps=819.0,
+                         overlap=False, meshes=None, b_ref=None):
     """Scaling table for snp-only and 2-D meshes at a target config.
 
     All-reduce cost model: ring, 2*(D-1)/D * bytes per device at
     `ici_gbps` effective per-device collective bandwidth (conservative
     for v5e's 2-D torus). Compute time per chip scales with the local
-    minibatch share (B/S) and local individuals (N/I)."""
+    minibatch share (B/S) and local individuals (N/I); passing b !=
+    b_ref scales compute linearly in the global batch (per-step work is
+    O(B*N*K)).
+
+    overlap=True models the round-5 pipelined chunk runner
+    (parallel/sharded.make_sharded_run_chunk): the gamma all-reduce
+    runs asynchronously across the next step's minibatch gather, so its
+    exposed cost is max(0, t_gam - gather_window). The window counts
+    ONLY the gather's HBM time ((B/S) x (W/I) bytes at hbm_gbps) —
+    conservative; the scheduler can also hide it behind the subsample
+    decode and index computation, which this model ignores. The
+    per-iteration lambda psums stay fully exposed (they sit on the
+    solve's critical path by construction)."""
     rows = []
-    for (ind, snp) in [(1, 2), (1, 4), (1, 8), (2, 4), (4, 8), (8, 16)]:
+    b_ref = b_ref or b
+    for (ind, snp) in meshes or [(1, 2), (1, 4), (1, 8), (2, 4),
+                                 (4, 8), (8, 16)]:
         d = ind * snp
-        compute = step_ms_1chip / d        # work splits over B/S and N/I
+        compute = step_ms_1chip / d * (b / b_ref)
         gam = (n // ind) * k * 4
         lam = 2 * (b // snp) * k * 4 * (iters_eff if ind > 1 else 0)
         t_gam = 2 * (snp - 1) / snp * gam / (ici_gbps * 1e9) * 1e3
         t_lam = 2 * (ind - 1) / ind * lam / (ici_gbps * 1e9) * 1e3
-        comm = t_gam + t_lam
+        window = 0.0
+        t_gam_exposed = t_gam
+        if overlap and w_bytes:
+            window = ((b // snp) * (w_bytes // ind)
+                      / (hbm_gbps * 1e9) * 1e3)
+            t_gam_exposed = max(0.0, t_gam - window)
+        comm = t_gam_exposed + t_lam
         eff = compute / (compute + comm)
-        rows.append(dict(mesh=f"{ind}x{snp}", chips=d,
+        rows.append(dict(mesh=f"{ind}x{snp}", chips=d, batch=b,
                          compute_ms=round(compute, 3),
-                         comm_ms=round(comm, 3),
+                         comm_ms=round(comm, 4),
+                         overlap_window_ms=round(window, 4),
                          efficiency=round(eff, 4)))
     return rows
 
@@ -127,14 +265,28 @@ def projected_efficiency(step_ms_1chip, n, k, b, iters_eff=8,
 def main():
     meas = measured_collective_bytes()
     out = dict(measured_hlo_collectives=meas)
+    out["overlap_hlo"] = overlap_report()
     # config 5 target: N=1M, L=1M, K=10, B=4096. Single-chip step time
-    # is now a DIRECT round-4 measurement: 57.7 ms/step at N=1,000,448
+    # is a DIRECT round-4 measurement: 57.7 ms/step at N=1,000,448
     # x L=32,768 B=4096 K=10 on the sharded mesh-1x1 step with the
     # accel7 default (benchmarks/results/bign_sharded_gap.json; the
     # step cost is L-independent — per-step work is O(B*N*K)).
     # iters_eff=8 matches accel7's 7 passes + final stats pass.
-    out["projection_config5"] = projected_efficiency(
-        step_ms_1chip=57.7, n=1_000_000, k=10, b=4096, iters_eff=8)
+    # w_bytes = packed byte width at n_padded = 1,000,448.
+    kw = dict(step_ms_1chip=57.7, n=1_000_000, k=10, iters_eff=8,
+              w_bytes=250_112)
+    out["projection_config5"] = projected_efficiency(b=4096, **kw)
+    out["projection_config5_overlap"] = projected_efficiency(
+        b=4096, overlap=True, **kw)
+    # Weak-scaling operating points at high chip counts: per-chip batch
+    # share held >= 256 SNPs by growing the global batch with the mesh
+    # (standard at 64+ chips; per-step estimator variance DROPS with B,
+    # the tradeoff is fewer Robbins-Monro updates per epoch).
+    out["projection_config5_overlap_weak_batch"] = (
+        projected_efficiency(b=8192, b_ref=4096, overlap=True,
+                             meshes=[(4, 8), (8, 16)], **kw)
+        + projected_efficiency(b=16384, b_ref=4096, overlap=True,
+                               meshes=[(8, 16)], **kw))
     print(json.dumps(out, indent=1))
 
 

@@ -207,6 +207,15 @@ class SVIConfig:
     ind_shards: int = 0
     snp_shards: int = 0
 
+    # Software-pipeline the sharded chunk runner: issue step t+1's
+    # minibatch gather between step t's gamma all-reduce and the gamma
+    # update that consumes it, so the (N/I, K) collective — the
+    # dominant communication term at high chip counts — can run
+    # asynchronously under XLA's latency-hiding scheduler. EXACT: only
+    # instruction order changes (pipelined == per-step bitwise,
+    # tests/test_sharded.py). Off = per-step shard_map loop.
+    comm_overlap: bool = True
+
     def __post_init__(self):
         if self.k <= 0:
             raise ValueError(f"k must be positive, got {self.k}")

@@ -185,10 +185,16 @@ class KernelPlan(NamedTuple):
     wl: int                 # per-shard byte width
 
 
-def plan_kernels(cfg: SVIConfig, plan: ShardPlan) -> KernelPlan:
+def plan_kernels(cfg: SVIConfig, plan: ShardPlan,
+                 backend: str | None = None) -> KernelPlan:
+    """Static kernel/sampling plan. `backend` overrides the detected
+    jax backend — used to RECORD the plan a TPU run would take from a
+    CPU host (benchmarks/config5_literal_smoke.py); execution always
+    uses the real backend (pass None)."""
     from terastructure_tpu.ops import stats_pallas as _pk
 
-    interpret = jax.default_backend() != "tpu"
+    bk = backend or jax.default_backend()
+    interpret = bk != "tpu"
     if cfg.kernel == "fused" and plan.ind > 1:
         raise ValueError(
             "kernel='fused' runs the whole local coordinate ascent inside "
@@ -201,7 +207,7 @@ def plan_kernels(cfg: SVIConfig, plan: ShardPlan) -> KernelPlan:
     # dryrun_multichip), 'auto' on real TPUs only.
     want_fused = plan.ind == 1 and (
         cfg.kernel == "fused"
-        or (cfg.kernel == "auto" and jax.default_backend() == "tpu")
+        or (cfg.kernel == "auto" and bk == "tpu")
     )
     wl = packed_width(plan.n_padded) // plan.ind
     b_local = plan.batch_per_shard
@@ -225,7 +231,7 @@ def plan_kernels(cfg: SVIConfig, plan: ShardPlan) -> KernelPlan:
     use_pk = pk_tiles is not None and (
         cfg.kernel == "pallas"
         or (cfg.kernel in ("auto", "fused")
-            and jax.default_backend() == "tpu")
+            and bk == "tpu")
     )
     # (interpret-mode runs — CPU tests/dryrun with kernel='pallas' —
     # exercise the same branch through gather_row_blocks' interpret path)
@@ -238,9 +244,9 @@ def plan_kernels(cfg: SVIConfig, plan: ShardPlan) -> KernelPlan:
                       dma_blocks=dma_blocks, wl=wl)
 
 
-def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
-                      streaming: bool = False):
-    """Build the shard_map'ed step: (state, packed) -> state.
+def _build_step_parts(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
+    """Build the per-shard closures every sharded runner composes:
+    (sample_gather, stats_from_rows, apply_gamma).
 
     Kernel selection per shard: when the 'ind' axis is unsharded
     (ind == 1, the single-host case — individuals shard across *hosts*)
@@ -250,12 +256,10 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
     per-iteration dense path runs. lambda_mode='local' skips the stored
     lambda gather/scatter entirely (cold start from the prior).
 
-    streaming=True returns (state, rows) -> state instead: the minibatch
-    rows arrive pre-gathered from the host (parallel/stream.py), sharded
-    P('snp', 'ind') — shard s's b_local rows were sampled by the host
-    with the SAME threefry schedule the resident step uses on device, so
-    resident and streaming runs are bit-identical (tests/test_stream.py).
-    Requires lambda_mode='local' (nothing SNP-indexed to scatter back).
+    The gamma psum over 'snp' is deliberately NOT inside these parts:
+    callers place it between stats_from_rows and apply_gamma, which is
+    what lets make_sharded_run_chunk overlap the collective with the
+    next step's gather.
     """
     from terastructure_tpu.ops import fused_step
     from terastructure_tpu.ops import stats_pallas as pk
@@ -374,20 +378,18 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
                 [cfg.beta_a + l0s, cfg.beta_b + l1s], axis=-1)
             lamb_l = lamb_l.at[idx].set(new_lamb_b)
 
-        gamma_stat = jax.lax.psum(gamma_stat, axis_name=SNP_AXIS)
-        rho = jnp.asarray(cfg.rho(t.astype(jnp.float32)), jnp.float32)
-        scale_g = jnp.float32(plan.l_padded) / jnp.float32(cfg.batch_size)
-        gamma_l = (1.0 - rho) * gamma_l + rho * (
-            cfg.alpha_value + scale_g * gamma_stat
-        )
-        return gamma_l, lamb_l
+        return lamb_l, gamma_stat
 
-    def _solve_from_rows(gamma_l, lamb_l, rows, idx, t, kb):
-        """Everything after the minibatch gather: the local solve, the
-        lambda scatter (stored mode only — idx may be None in local
-        mode) and the gamma natural-gradient update. Shared by the
-        resident step (which samples+gathers on device) and the
-        streaming step (rows pre-gathered by the host)."""
+    def _stats_from_rows(gamma_l, lamb_l, rows, idx, t, kb):
+        """Everything after the minibatch gather: the local solve and
+        the lambda scatter (stored mode only — idx may be None in local
+        mode). Returns (lamb_l, gamma_stat_local) with the gamma
+        statistic NOT yet psum'ed over 'snp' — the caller inserts the
+        collective so the chunk runner can overlap it with the next
+        step's minibatch gather (the scaling lever at high chip counts,
+        benchmarks/results/scaling_model.md). Shared by the resident
+        step (which samples+gathers on device) and the streaming step
+        (rows pre-gathered by the host)."""
         wl = rows.shape[1]
 
         if want_fused and fused_step.supports(b_local, wl, cfg.k, kdtype,
@@ -409,13 +411,7 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
             gamma_stat = (u * pk.planes_to_flat(g))[: gamma_l.shape[0]]
             if not local_mode:
                 lamb_l = lamb_l.at[idx].set(new_lamb_b)
-            gamma_stat = jax.lax.psum(gamma_stat, axis_name=SNP_AXIS)
-            rho = jnp.asarray(cfg.rho(t.astype(jnp.float32)), jnp.float32)
-            scale = jnp.float32(plan.l_padded) / jnp.float32(cfg.batch_size)
-            gamma_l = (1.0 - rho) * gamma_l + rho * (
-                cfg.alpha_value + scale * gamma_stat
-            )
-            return gamma_l, lamb_l
+            return lamb_l, gamma_stat
 
         if use_pk:
             # Per-iteration Pallas kernels with psum('ind') BETWEEN
@@ -455,16 +451,21 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
             )
             lamb_l = lamb_l.at[idx].set(new_lamb_b)
 
-        gamma_stat = jax.lax.psum(stats.gamma_stat, axis_name=SNP_AXIS)
+        return lamb_l, stats.gamma_stat
+
+    def _apply_gamma(gamma_l, gamma_stat, t):
+        """Robbins–Monro natural-gradient gamma update from the
+        ALREADY-psum'ed (over 'snp') gamma statistic."""
         rho = jnp.asarray(cfg.rho(t.astype(jnp.float32)), jnp.float32)
         scale = jnp.float32(plan.l_padded) / jnp.float32(cfg.batch_size)
-        gamma_l = (1.0 - rho) * gamma_l + rho * (
-            cfg.alpha_value + scale * gamma_stat
-        )
-        return gamma_l, lamb_l
+        return (1.0 - rho) * gamma_l + rho * (
+            cfg.alpha_value + scale * gamma_stat)
 
-    def local_step(gamma_l, lamb_l, packed_l, t, key):
-        # gamma_l: (N/I, K)  lamb_l: (L/S, K, 2)  packed_l: (L/S, W/I)
+    def _sample_gather(packed_l, t, key):
+        """Sample this shard's minibatch rows for step t. Depends only
+        on (t, key) — NOT on gamma/lambda — which is what lets the
+        chunk runner issue step t+1's gather inside step t's gamma
+        all-reduce latency window."""
         s_idx = jax.lax.axis_index(SNP_AXIS)
         kb = jax.random.fold_in(jax.random.fold_in(key, t), s_idx)
         # Per-shard DMA block-gather (same unbiasedness argument as the
@@ -485,10 +486,39 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
             idx = jax.random.randint(kb, (b_local,), 0, l_local,
                                      dtype=jnp.int32)
             rows = packed_l[idx]
-        return _solve_from_rows(gamma_l, lamb_l, rows, idx, t, kb)
+        return rows, idx, kb
+
+    return _sample_gather, _stats_from_rows, _apply_gamma
+
+
+def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
+                      streaming: bool = False):
+    """Build the shard_map'ed single step: (state, packed) -> state.
+
+    See _build_step_parts for the kernel-selection rules. For chunked
+    stepping prefer make_sharded_run_chunk, which pipelines the gamma
+    all-reduce against the next step's minibatch gather.
+
+    streaming=True returns (state, rows) -> state instead: the minibatch
+    rows arrive pre-gathered from the host (parallel/stream.py), sharded
+    P('snp', 'ind') — shard s's b_local rows were sampled by the host
+    with the SAME threefry schedule the resident step uses on device, so
+    resident and streaming runs are bit-identical (tests/test_stream.py).
+    Requires lambda_mode='local' (nothing SNP-indexed to scatter back).
+    """
+    sample_gather, stats_from_rows, apply_gamma = _build_step_parts(
+        cfg, plan, mesh)
+
+    def local_step(gamma_l, lamb_l, packed_l, t, key):
+        # gamma_l: (N/I, K)  lamb_l: (L/S, K, 2)  packed_l: (L/S, W/I)
+        rows, idx, kb = sample_gather(packed_l, t, key)
+        lamb_l, gstat = stats_from_rows(gamma_l, lamb_l, rows, idx, t, kb)
+        gstat = jax.lax.psum(gstat, axis_name=SNP_AXIS)
+        gamma_l = apply_gamma(gamma_l, gstat, t)
+        return gamma_l, lamb_l
 
     if streaming:
-        if not local_mode:
+        if cfg.lambda_mode != "local":
             raise ValueError("sharded streaming requires "
                              "lambda_mode='local' (nothing SNP-indexed "
                              "to scatter back against a host matrix)")
@@ -499,7 +529,11 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
             # (the subsampled big-N solve folds it further on device).
             s_idx = jax.lax.axis_index(SNP_AXIS)
             kb = jax.random.fold_in(jax.random.fold_in(key, t), s_idx)
-            return _solve_from_rows(gamma_l, lamb_l, rows_l, None, t, kb)
+            lamb_l, gstat = stats_from_rows(gamma_l, lamb_l, rows_l,
+                                            None, t, kb)
+            gstat = jax.lax.psum(gstat, axis_name=SNP_AXIS)
+            gamma_l = apply_gamma(gamma_l, gstat, t)
+            return gamma_l, lamb_l
 
         sharded_stream = jax.shard_map(
             local_step_stream,
@@ -538,14 +572,81 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
     return step
 
 
-def make_sharded_run_chunk(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh, nsteps: int):
-    step = make_sharded_step(cfg, plan, mesh)
+def make_sharded_run_chunk(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
+                           nsteps: int, *, overlap: bool | None = None):
+    """jit-compiled runner of `nsteps` sharded steps (one dispatch).
+
+    The whole chunk runs as ONE shard_map around a local fori_loop, and
+    the loop body is software-pipelined: step t+1's minibatch gather is
+    issued BETWEEN step t's gamma all-reduce and the gamma update that
+    consumes it. The gather depends only on (t, key), so XLA's
+    latency-hiding scheduler can run the collective asynchronously
+    (all-reduce-start before the gather, -done after), hiding the
+    (N/I, K) payload — the dominant communication term at high chip
+    counts (benchmarks/results/scaling_model.md) — behind the gather's
+    HBM traffic and the subsample decode. Semantics are EXACT: the
+    update still consumes the fully-reduced statistic each step; only
+    instruction order changes. Verified two ways: trajectory equality
+    with the per-step runner (tests/test_sharded.py) and HLO dataflow
+    independence of the gather from the all-reduce
+    (benchmarks/comm_model.py overlap report).
+
+    overlap=False falls back to the per-step shard_map loop (A/B and
+    debugging); default (None) pipelines, matching cfg.comm_overlap.
+    """
+    if overlap is None:
+        overlap = getattr(cfg, "comm_overlap", True)
+    if not overlap:
+        step = make_sharded_step(cfg, plan, mesh)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_chunk_plain(state: SVIState, packed) -> SVIState:
+            def body(_, s):
+                return step(s, packed)
+            return jax.lax.fori_loop(0, nsteps, body, state)
+
+        return run_chunk_plain
+
+    sample_gather, stats_from_rows, apply_gamma = _build_step_parts(
+        cfg, plan, mesh)
+
+    def local_chunk(gamma_l, lamb_l, packed_l, t0, key):
+        rows, idx, kb = sample_gather(packed_l, t0, key)
+
+        def body(i, carry):
+            gamma_l, lamb_l, rows, idx, kb = carry
+            t = t0 + i
+            lamb_l, gstat = stats_from_rows(
+                gamma_l, lamb_l, rows, idx, t, kb)
+            gstat = jax.lax.psum(gstat, axis_name=SNP_AXIS)
+            # prefetch the NEXT minibatch between the collective and
+            # its consumer — no data dependency on gstat, so the
+            # all-reduce can span it
+            rows_n, idx_n, kb_n = sample_gather(packed_l, t + 1, key)
+            gamma_l = apply_gamma(gamma_l, gstat, t)
+            return gamma_l, lamb_l, rows_n, idx_n, kb_n
+
+        gamma_l, lamb_l, _, _, _ = jax.lax.fori_loop(
+            0, nsteps, body, (gamma_l, lamb_l, rows, idx, kb))
+        return gamma_l, lamb_l
+
+    chunk_sharded = jax.shard_map(
+        local_chunk,
+        mesh=mesh,
+        in_specs=(
+            meshlib.GAMMA_SPEC, meshlib.LAMB_SPEC, meshlib.PACKED_SPEC,
+            P(), P(),
+        ),
+        out_specs=(meshlib.GAMMA_SPEC, meshlib.LAMB_SPEC),
+        check_vma=False,
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_chunk(state: SVIState, packed) -> SVIState:
-        def body(_, s):
-            return step(s, packed)
-        return jax.lax.fori_loop(0, nsteps, body, state)
+        gamma, lamb = chunk_sharded(
+            state.gamma, state.lamb, packed, state.t, state.key)
+        return SVIState(gamma=gamma, lamb=lamb, t=state.t + nsteps,
+                        key=state.key)
 
     return run_chunk
 
