@@ -133,12 +133,18 @@ def main():
             np.savez(cache, packed=packed, theta=theta)
 
     # Packed-native eval carve (data/dataset.py): entry count is capped
-    # only by MC-error needs; at big N the UNIQUE eval SNPs are pooled so
+    # only by MC-error needs; the UNIQUE eval SNPs are pooled so
     # local-mode scoring (O(N * uniq SNPs) lambda re-solve per check)
-    # stays within the step budget without capping entries.
+    # stays within the step budget without capping entries. Round 5:
+    # pool at big L too, not only big N — config #3's unpooled carve
+    # spread 200K entries over ~196K unique SNPs, making each rfreq
+    # check re-solve ~2x the chunk's own SNP count (the dominant term
+    # of the 565.9K-sustained vs 2.1M-steady gap, VERDICT r4 #3). 2048
+    # pooled SNPs keep ~100 entries/SNP — the convergence signal's MC
+    # error is set by the ENTRY count, which is unchanged.
     t0 = time.time()
     n_eval = min(max(int(0.005 * n * l), 100), 200_000)
-    pool = 2048 if n >= 50_000 else 0
+    pool = 2048 if (n >= 50_000 or l >= 131_072) else 0
     data = GenotypeData.from_packed(
         packed, n, seed=args.seed,
         validation_frac=0.005, heldout_frac=0.005,
@@ -176,16 +182,38 @@ def main():
     if args.local_iters:
         cfg = cfg.replace(local_iters=args.local_iters)
     meter = StepMeter(cfg.batch_size)
+    recs = []
+
+    def cb(rec):
+        meter(rec)
+        recs.append(rec)
+
     t0 = time.time()
     if len(jax.devices()) > 1:
         from terastructure_tpu.parallel import fit_sharded
 
-        res = fit_sharded(cfg, data, callback=meter)
+        res = fit_sharded(cfg, data, callback=cb)
     else:
         from terastructure_tpu.svi import fit
 
-        res = fit(cfg, data, callback=meter)
+        res = fit(cfg, data, callback=cb)
     theta_hat = np.asarray(psd.theta_mean(res.state.gamma))[:n]
+
+    # Time-to-quality (VERDICT r4 weak #1): wall seconds until the
+    # validation ll first lands within 1e-4 nats of the run's best —
+    # the metric that stays comparable across schedule-changing levers
+    # (accel vs plain at different pass counts), unlike fixed-step
+    # upd/s. Plus the fit-loop phase budget from the driver's per-check
+    # chunk_s/eval_s instrumentation.
+    lls = [(r["wall_s"], r["validation_ll"]) for r in recs
+           if "validation_ll" in r]
+    best = max((v for _, v in lls), default=float("nan"))
+    wall_to_q = next((w for w, v in lls if v >= best - 1e-4), None)
+    phase = dict(
+        chunk_s=round(sum(r.get("chunk_s", 0.0) for r in recs), 1),
+        eval_s=round(sum(r.get("eval_s", 0.0) for r in recs), 1),
+        checks=len(lls),
+    )
     print(json.dumps(dict(
         config=spec["name"], scale=args.scale, n=n, l=l, k=k,
         missing_frac=args.missing_frac, init=args.init_mode,
@@ -194,6 +222,9 @@ def main():
         heldout_ll=round(res.heldout_ll, 6) if res.heldout_ll else None,
         theta_mae_vs_truth=round(mean_abs_theta_error(theta_hat, theta), 5),
         snp_updates_per_s=round(meter.snp_updates_per_s, 1),
+        wall_s_to_ll_within_1e4_of_best=(
+            round(wall_to_q, 1) if wall_to_q is not None else None),
+        fit_phase_budget=phase,
         sim_s=round(sim_s, 1), eval_carve_s=round(eval_s, 1),
         fit_wall_s=round(time.time() - t0, 1),
     )))

@@ -332,6 +332,56 @@ def cmd_fit(args):
     log = logging.getLogger("terastructure_tpu")
 
     seeds = [args.seed + i for i in range(max(args.replicates, 1))]
+
+    if len(seeds) > 1 and getattr(args, "batched", False):
+        if args.stream or args.ind_shards or args.snp_shards or args.resume:
+            raise SystemExit("--batched replicates is a single-device "
+                             "resident path (no --stream/--*-shards/"
+                             "--resume)")
+        from terastructure_tpu.svi.replicates import (
+            fit_replicates_batched, unstack_state)
+
+        res_b = fit_replicates_batched(cfg0, data0, seeds)
+        for i, rep in enumerate(res_b.replicates):
+            sub = os.path.join(run_dir, f"replicate-s{rep.seed}")
+            os.makedirs(sub, exist_ok=True)
+            with open(os.path.join(sub, "result.json"), "w") as f:
+                json.dump(dict(seed=rep.seed, converged=rep.converged,
+                               steps=rep.steps,
+                               validation_ll=rep.validation_ll,
+                               batched=True), f, indent=2)
+        bi = res_b.best
+        best_rep = res_b.replicates[bi]
+        st = unstack_state(res_b.states, bi)
+        sub = os.path.join(run_dir, f"replicate-s{best_rep.seed}")
+        if cfg0.lambda_mode == "local":
+            # materialize the derived lambda for the SELECTED replicate
+            # (the serial loop does this per fit; here once)
+            from terastructure_tpu.svi.postprocess import compute_lambda
+
+            packed_pad = np.asarray(data0.packed)
+            wpad = (-packed_pad.shape[1]) % 128
+            if wpad:
+                packed_pad = np.pad(packed_pad, ((0, 0), (0, wpad)),
+                                    constant_values=0xFF)
+            lamb = compute_lambda(cfg0.replace(seed=best_rep.seed),
+                                  st.gamma[: cfg0.n], packed_pad)
+            st = st._replace(lamb=lamb)
+        save_model(sub, st.gamma, st.lamb, n=cfg0.n, l=cfg0.l,
+                   ind_ids=data0.ind_ids, snp_ids=data0.snp_ids)
+        save_checkpoint(os.path.join(sub, "checkpoint"), st,
+                        cfg0.replace(seed=best_rep.seed))
+        log.info("batched replicates: best seed=%d validation_ll=%.6f "
+                 "(%.1fs for %d lockstep fits)", best_rep.seed,
+                 best_rep.validation_ll, res_b.wall_s, len(seeds))
+        with open(os.path.join(run_dir, "best.json"), "w") as f:
+            json.dump(dict(seed=best_rep.seed,
+                           validation_ll=best_rep.validation_ll,
+                           heldout_ll=None, batched=True,
+                           dir=os.path.basename(sub)), f, indent=2)
+        print(run_dir)
+        return
+
     best = None
     for seed in seeds:
         cfg = cfg0.replace(seed=seed)
@@ -611,6 +661,11 @@ def main(argv=None):
     _add_svi_args(p)
     p.add_argument("--replicates", type=int, default=1,
                    help="multi-seed replicates; keep best validation ll")
+    p.add_argument("--batched", action="store_true",
+                   help="run all replicates in lockstep under ONE "
+                        "vmapped compile (svi/replicates.py): shares "
+                        "the packed matrix, amortizes dispatch + eval "
+                        "R-fold; single-device resident path only")
     p.add_argument("--resume", action="store_true",
                    help="resume from the run dir's checkpoint")
     p.add_argument("--init-model", default=None,

@@ -176,17 +176,28 @@ def fit(
 
     try:
         while int(state.t) < cfg.max_steps:
+            tc = time.time()
             state = run_chunk(state, packed)
             steps_done = int(state.t)
+            tc = time.time() - tc
             rec = {
                 "step": steps_done,
                 "wall_s": round(time.time() - t0, 3),
                 "rho": float(cfg.rho(float(steps_done))),
+                # fit-loop phase budget (VERDICT r4 #3): chunk_s is the
+                # dispatch-until-host-visible time of the rfreq step
+                # chunk (int(state.t) syncs); eval_s the validation
+                # scorer wall. Device-side asynchrony can shift work
+                # between the two — their SUM per check is the honest
+                # number.
+                "chunk_s": round(tc, 3),
             }
             if not trace:
                 rec["predictive"] = cfg.predictive
             if val_scorer is not None:
+                te = time.time()
                 ll = val_scorer(state)
+                rec["eval_s"] = round(time.time() - te, 3)
                 rec["validation_ll"] = ll
                 if not np.isfinite(ll):
                     log.error("validation ll is not finite at step %d", steps_done)

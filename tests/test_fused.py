@@ -15,8 +15,12 @@ from terastructure_tpu.svi import engine, fit
 
 
 def test_inkernel_digamma_matches_scipy(rng):
+    # domain floor 1e-3 = aitken_final's lambda floor, the smallest
+    # argument the kernel can feed digamma (6 recurrence shifts must
+    # still reach the series' x >= 6 validity region from there)
     x = jnp.asarray(
-        np.concatenate([rng.uniform(0.05, 6.0, 500),
+        np.concatenate([rng.uniform(1e-3, 0.05, 200),
+                        rng.uniform(0.05, 6.0, 500),
                         rng.uniform(6.0, 5000.0, 500)]), jnp.float32)
     got = np.asarray(fused_step.digamma(x))
     want = sps.digamma(np.asarray(x, np.float64))
