@@ -33,9 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def measured_collective_bytes(n=256, l=1024, k=4, batch=128, ind=2, snp=4):
+def measured_collective_bytes(n=256, l=1024, k=4, batch=128, ind=2, snp=4,
+                              gamma_psum_dtype="f32"):
     """Compile the sharded step on an emulated ind x snp CPU mesh and
-    sum the bytes of every cross-replica collective in the final HLO."""
+    sum the bytes of every cross-replica collective in the final HLO.
+
+    gamma_psum_dtype='bf16' compiles the half-payload gamma reduction
+    (config.gamma_psum_dtype); the returned per-kind summary then
+    carries a 'dtypes' set so callers can assert the wire dtype that
+    XLA actually scheduled, not just the byte count."""
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={ind * snp}")
@@ -51,7 +57,8 @@ def measured_collective_bytes(n=256, l=1024, k=4, batch=128, ind=2, snp=4):
     from terastructure_tpu.parallel import sharded
 
     cfg = SVIConfig(n=n, l=l, k=k, batch_size=batch, seed=0,
-                    ind_shards=ind, snp_shards=snp)
+                    ind_shards=ind, snp_shards=snp,
+                    gamma_psum_dtype=gamma_psum_dtype)
     _, _, x = simulate_psd(n, l, k, seed=0)
     data = GenotypeData.from_dense(x, validation_frac=0.01,
                                    heldout_frac=0.0, seed=0)
@@ -78,17 +85,28 @@ def measured_collective_bytes(n=256, l=1024, k=4, batch=128, ind=2, snp=4):
         if kind == "all-reduce" and "-done(" in line:
             continue                     # avoid double-counting start/done
         total = 0
-        for shape in re.findall(r"f32\[([\d,]*)\]", result_type):
+        dts = set()
+        for dt, shape in re.findall(r"(f32|bf16)\[([\d,]*)\]",
+                                    result_type):
             dims = [int(d) for d in shape.split(",") if d] or [1]
-            total += int(np.prod(dims)) * 4
+            total += int(np.prod(dims)) * (4 if dt == "f32" else 2)
+            dts.add(dt)
         if total:
-            ops.setdefault(kind, []).append(total)
-    summary = {kind: dict(count=len(v), bytes=sum(v))
+            ops.setdefault(kind, []).append((total, dts))
+    summary = {kind: dict(count=len(v), bytes=sum(t for t, _ in v),
+                          dtypes=sorted(set().union(*(d for _, d in v))))
                for kind, v in ops.items()}
+    # Did the (N/I, K) gamma statistic cross a bf16 rounding boundary?
+    # (On CPU the collective itself is PROMOTED back to f32 —
+    # BFloat16Normalization — so the wire dtype above stays f32 here;
+    # on TPU the bf16 all-reduce lowers natively at half payload. The
+    # rounding is the numerics-visible part and is backend-invariant.)
+    summary["gamma_bf16_round"] = bool(re.search(
+        rf"=\s*bf16\[{n // ind},{k}\][^=]*\bconvert\(", hlo))
     # analytic check (per compiled program = ONE step):
     iters = cfg.local_iters + 1            # solve passes + final stats
     lam_bytes = 2 * (batch // snp) * k * 4 * (iters if ind > 1 else 0)
-    gam_bytes = (n // ind) * k * 4
+    gam_bytes = (n // ind) * k * (2 if gamma_psum_dtype == "bf16" else 4)
     summary["model"] = dict(
         lambda_psum_bytes_max=lam_bytes, gamma_psum_bytes=gam_bytes,
         note="one lambda-pair all-reduce sits in the while body (static"
@@ -217,7 +235,8 @@ def overlap_report(n=256, l=1024, k=4, batch=128, ind=2, snp=4, nsteps=3):
 
 def projected_efficiency(step_ms_1chip, n, k, b, iters_eff=8,
                          ici_gbps=45.0, w_bytes=None, hbm_gbps=819.0,
-                         overlap=False, meshes=None, b_ref=None):
+                         overlap=False, meshes=None, b_ref=None,
+                         gamma_wire_bytes=4):
     """Scaling table for snp-only and 2-D meshes at a target config.
 
     All-reduce cost model: ring, 2*(D-1)/D * bytes per device at
@@ -235,14 +254,19 @@ def projected_efficiency(step_ms_1chip, n, k, b, iters_eff=8,
     conservative; the scheduler can also hide it behind the subsample
     decode and index computation, which this model ignores. The
     per-iteration lambda psums stay fully exposed (they sit on the
-    solve's critical path by construction)."""
+    solve's critical path by construction).
+
+    gamma_wire_bytes=2 models cfg.gamma_psum_dtype='bf16': the
+    N-proportional gamma statistic rides the ring at half payload
+    (quality A/B: results/gamma_bf16_ab.json; rounding pinned in
+    tests/test_sharded.py). The lambda pairs stay f32."""
     rows = []
     b_ref = b_ref or b
     for (ind, snp) in meshes or [(1, 2), (1, 4), (1, 8), (2, 4),
                                  (4, 8), (8, 16)]:
         d = ind * snp
         compute = step_ms_1chip / d * (b / b_ref)
-        gam = (n // ind) * k * 4
+        gam = (n // ind) * k * gamma_wire_bytes
         lam = 2 * (b // snp) * k * 4 * (iters_eff if ind > 1 else 0)
         t_gam = 2 * (snp - 1) / snp * gam / (ici_gbps * 1e9) * 1e3
         t_lam = 2 * (ind - 1) / ind * lam / (ici_gbps * 1e9) * 1e3
@@ -287,6 +311,11 @@ def main():
                              meshes=[(4, 8), (8, 16)], **kw)
         + projected_efficiency(b=16384, b_ref=4096, overlap=True,
                                meshes=[(8, 16)], **kw))
+    # Round 5: bf16 gamma reduction (cfg.gamma_psum_dtype) halves the
+    # N-proportional wire payload — the fixed-B=4096 dependency bound
+    # at high chip counts. Quality A/B: results/gamma_bf16_ab.json.
+    out["projection_config5_overlap_bf16"] = projected_efficiency(
+        b=4096, overlap=True, gamma_wire_bytes=2, **kw)
     print(json.dumps(out, indent=1))
 
 

@@ -48,8 +48,16 @@ def main():
 
     n, l, k = spec["n"], spec["l"], spec["k"]
     _, _, x = simulate_psd(n, l, k, seed=args.seed)
+    # Same eval-carve policy as baseline_configs: cap entries by
+    # MC-error needs and POOL the unique eval SNPs at big L, or each
+    # rfreq check's local-mode lambda re-solve visits ~every SNP the
+    # entries touch (the config-3 sustained-gap lesson, VERDICT r4 #3).
+    n_eval = min(max(int(0.005 * n * l), 100), 200_000)
+    pool = 2048 if (n >= 50_000 or l >= 131_072) else 0
     data = GenotypeData.from_dense(x, validation_frac=0.005,
-                                   heldout_frac=0.005, seed=args.seed)
+                                   heldout_frac=0.005, seed=args.seed,
+                                   max_eval_entries=n_eval,
+                                   eval_snp_pool=pool)
     cfg = SVIConfig(n=n, l=l, k=k, batch_size=min(spec["batch"], l),
                     rfreq=100, max_steps=args.max_steps, seed=args.seed)
     seeds = [args.seed + i for i in range(args.r)]

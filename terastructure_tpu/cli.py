@@ -84,6 +84,12 @@ def _add_svi_args(p):
                    help="mesh axis over individuals (hosts); 0 = auto")
     p.add_argument("--snp-shards", type=int, default=0,
                    help="mesh axis over SNPs (chips); 0 = auto")
+    p.add_argument("--gamma-psum-dtype", default="f32",
+                   choices=("f32", "bf16"),
+                   help="reduction dtype for the gamma statistic's "
+                        "psum('snp') — bf16 halves the N-proportional "
+                        "wire payload at high chip counts (quality A/B "
+                        "in benchmarks/results/gamma_bf16_ab.json)")
     p.add_argument("--force-cpu", action="store_true",
                    help="run on CPU (tests/debug)")
     p.add_argument("--stream", action="store_true",
@@ -244,6 +250,7 @@ def _cfg_from_args(args, n, l):
         predictive=args.predictive,
         kernel=args.kernel, lambda_mode=args.lambda_mode,
         ind_shards=args.ind_shards, snp_shards=args.snp_shards,
+        gamma_psum_dtype=getattr(args, "gamma_psum_dtype", "f32"),
         seed=args.seed, label=args.label,
         init=getattr(args, "init_mode", "random"),
     )

@@ -216,11 +216,27 @@ class SVIConfig:
     # tests/test_sharded.py). Off = per-step shard_map loop.
     comm_overlap: bool = True
 
+    # Reduction dtype for the gamma natural-gradient statistic's
+    # psum('snp') — the one collective whose payload is proportional to
+    # N and independent of B, i.e. the dependency bound at high chip
+    # counts under fixed batch (benchmarks/results/scaling_model.md).
+    # "bf16" halves the wire payload (partials are rounded to bf16 and
+    # the ring accumulates in bf16); the engine path rounds the whole
+    # statistic once so single-device fits share the semantics. The
+    # rounding (~2^-8 relative) sits far below the 1/sqrt(B) minibatch
+    # noise the Robbins-Monro update already averages over — measured
+    # quality A/B in benchmarks/results/gamma_bf16_ab.json. Default
+    # stays exact f32: the 8-chip acceptance row clears without it.
+    gamma_psum_dtype: str = "f32"
+
     def __post_init__(self):
         if self.k <= 0:
             raise ValueError(f"k must be positive, got {self.k}")
         if self.batch_size <= 0:
             raise ValueError("batch_size must be positive")
+        if self.gamma_psum_dtype not in ("f32", "bf16"):
+            raise ValueError("gamma_psum_dtype must be 'f32' or 'bf16', "
+                             f"got {self.gamma_psum_dtype!r}")
 
     @property
     def alpha_value(self) -> float:

@@ -246,7 +246,7 @@ def plan_kernels(cfg: SVIConfig, plan: ShardPlan,
 
 def _build_step_parts(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
     """Build the per-shard closures every sharded runner composes:
-    (sample_gather, stats_from_rows, apply_gamma).
+    (sample_gather, stats_from_rows, apply_gamma, psum_gamma).
 
     Kernel selection per shard: when the 'ind' axis is unsharded
     (ind == 1, the single-host case — individuals shard across *hosts*)
@@ -256,10 +256,15 @@ def _build_step_parts(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
     per-iteration dense path runs. lambda_mode='local' skips the stored
     lambda gather/scatter entirely (cold start from the prior).
 
-    The gamma psum over 'snp' is deliberately NOT inside these parts:
-    callers place it between stats_from_rows and apply_gamma, which is
-    what lets make_sharded_run_chunk overlap the collective with the
-    next step's gather.
+    The gamma psum over 'snp' is deliberately NOT fused into
+    stats_from_rows: callers place psum_gamma between stats_from_rows
+    and apply_gamma, which is what lets make_sharded_run_chunk overlap
+    the collective with the next step's gather. psum_gamma reduces in
+    cfg.gamma_psum_dtype — "bf16" rounds each shard's partial and rides
+    the ring at half the f32 wire payload (the N-proportional,
+    B-independent term that dependency-bounds fixed-batch scaling at
+    high chip counts, benchmarks/results/scaling_model.md), then casts
+    back to f32 for the Robbins-Monro update.
     """
     from terastructure_tpu.ops import fused_step
     from terastructure_tpu.ops import stats_pallas as pk
@@ -488,7 +493,17 @@ def _build_step_parts(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
             rows = packed_l[idx]
         return rows, idx, kb
 
-    return _sample_gather, _stats_from_rows, _apply_gamma
+    def _psum_gamma(gstat):
+        """Reduce the per-shard gamma statistic over 'snp' in
+        cfg.gamma_psum_dtype (quality A/B for bf16:
+        benchmarks/results/gamma_bf16_ab.json)."""
+        if cfg.gamma_psum_dtype == "bf16":
+            gstat = jax.lax.psum(gstat.astype(jnp.bfloat16),
+                                 axis_name=SNP_AXIS)
+            return gstat.astype(jnp.float32)
+        return jax.lax.psum(gstat, axis_name=SNP_AXIS)
+
+    return _sample_gather, _stats_from_rows, _apply_gamma, _psum_gamma
 
 
 def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
@@ -506,14 +521,14 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
     resident and streaming runs are bit-identical (tests/test_stream.py).
     Requires lambda_mode='local' (nothing SNP-indexed to scatter back).
     """
-    sample_gather, stats_from_rows, apply_gamma = _build_step_parts(
-        cfg, plan, mesh)
+    sample_gather, stats_from_rows, apply_gamma, psum_gamma = (
+        _build_step_parts(cfg, plan, mesh))
 
     def local_step(gamma_l, lamb_l, packed_l, t, key):
         # gamma_l: (N/I, K)  lamb_l: (L/S, K, 2)  packed_l: (L/S, W/I)
         rows, idx, kb = sample_gather(packed_l, t, key)
         lamb_l, gstat = stats_from_rows(gamma_l, lamb_l, rows, idx, t, kb)
-        gstat = jax.lax.psum(gstat, axis_name=SNP_AXIS)
+        gstat = psum_gamma(gstat)
         gamma_l = apply_gamma(gamma_l, gstat, t)
         return gamma_l, lamb_l
 
@@ -531,7 +546,7 @@ def make_sharded_step(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
             kb = jax.random.fold_in(jax.random.fold_in(key, t), s_idx)
             lamb_l, gstat = stats_from_rows(gamma_l, lamb_l, rows_l,
                                             None, t, kb)
-            gstat = jax.lax.psum(gstat, axis_name=SNP_AXIS)
+            gstat = psum_gamma(gstat)
             gamma_l = apply_gamma(gamma_l, gstat, t)
             return gamma_l, lamb_l
 
@@ -607,8 +622,8 @@ def make_sharded_run_chunk(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
 
         return run_chunk_plain
 
-    sample_gather, stats_from_rows, apply_gamma = _build_step_parts(
-        cfg, plan, mesh)
+    sample_gather, stats_from_rows, apply_gamma, psum_gamma = (
+        _build_step_parts(cfg, plan, mesh))
 
     def local_chunk(gamma_l, lamb_l, packed_l, t0, key):
         rows, idx, kb = sample_gather(packed_l, t0, key)
@@ -618,7 +633,7 @@ def make_sharded_run_chunk(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh,
             t = t0 + i
             lamb_l, gstat = stats_from_rows(
                 gamma_l, lamb_l, rows, idx, t, kb)
-            gstat = jax.lax.psum(gstat, axis_name=SNP_AXIS)
+            gstat = psum_gamma(gstat)
             # prefetch the NEXT minibatch between the collective and
             # its consumer — no data dependency on gstat, so the
             # all-reduce can span it

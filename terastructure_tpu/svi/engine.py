@@ -280,6 +280,13 @@ def _global_update(cfg: SVIConfig, gamma, gamma_stat, t, l_sample):
     """
     rho = jnp.asarray(cfg.rho(t.astype(jnp.float32)), jnp.float32)
     scale = jnp.float32(l_sample) / jnp.float32(cfg.batch_size)
+    if cfg.gamma_psum_dtype == "bf16":
+        # Single-device mirror of the sharded bf16 psum('snp')
+        # (parallel/sharded.py psum_gamma): the statistic crosses the
+        # reduction boundary at bf16 precision, so one-chip and
+        # multi-chip fits share semantics (not bitwise — the ring also
+        # accumulates in bf16). Quality A/B: results/gamma_bf16_ab.json.
+        gamma_stat = gamma_stat.astype(jnp.bfloat16).astype(jnp.float32)
     gamma_target = cfg.alpha_value + scale * gamma_stat
     return (1.0 - rho) * gamma + rho * gamma_target
 
