@@ -97,12 +97,15 @@ def measured_collective_bytes(n=256, l=1024, k=4, batch=128, ind=2, snp=4,
                           dtypes=sorted(set().union(*(d for _, d in v))))
                for kind, v in ops.items()}
     # Did the (N/I, K) gamma statistic cross a bf16 rounding boundary?
-    # (On CPU the collective itself is PROMOTED back to f32 —
-    # BFloat16Normalization — so the wire dtype above stays f32 here;
-    # on TPU the bf16 all-reduce lowers natively at half payload. The
-    # rounding is the numerics-visible part and is backend-invariant.)
+    # The rounding is a reduce-precision(e=8, m=7) — contractual, no
+    # backend may elide it (XLA's excess-precision simplifier DOES
+    # elide bare f32->bf16->f32 convert pairs, and the CPU backend
+    # promotes bf16 collectives back to f32 via BFloat16Normalization,
+    # so neither the converts nor the wire dtype are reliable evidence
+    # here; on TPU the bf16 all-reduce lowers natively at half
+    # payload). Match the op on the statistic's local shape.
     summary["gamma_bf16_round"] = bool(re.search(
-        rf"=\s*bf16\[{n // ind},{k}\][^=]*\bconvert\(", hlo))
+        rf"f32\[{n // ind},{k}\][^=]*\breduce-precision\(", hlo))
     # analytic check (per compiled program = ONE step):
     iters = cfg.local_iters + 1            # solve passes + final stats
     lam_bytes = 2 * (batch // snp) * k * 4 * (iters if ind > 1 else 0)

@@ -42,6 +42,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=3, choices=SHAPES)
     ap.add_argument("--max-steps", type=int, default=8000)
+    ap.add_argument("--fixed-steps", type=int, default=0,
+                    help="run BOTH arms exactly N steps (convergence "
+                         "stop disabled) — removes the step-count "
+                         "confound when early stopping fires at "
+                         "different checks")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -59,10 +64,19 @@ def main():
 
     n, l, k = spec["n"], spec["l"], spec["k"]
     theta_true, _, x = simulate_psd(n, l, k, seed=args.seed)
+    # Pooled/capped eval carve (same policy as baseline_configs): at
+    # big L an unpooled carve makes every rfreq check re-solve ~every
+    # SNP the eval entries touch (VERDICT r4 #3).
+    n_eval = min(max(int(0.005 * n * l), 100), 200_000)
+    pool = 2048 if (n >= 50_000 or l >= 131_072) else 0
     data = GenotypeData.from_dense(x, validation_frac=0.005,
-                                   heldout_frac=0.005, seed=args.seed)
+                                   heldout_frac=0.005, seed=args.seed,
+                                   max_eval_entries=n_eval,
+                                   eval_snp_pool=pool)
     cfg0 = SVIConfig(n=n, l=l, k=k, batch_size=min(spec["batch"], l),
                      rfreq=100, max_steps=args.max_steps, seed=args.seed)
+    if args.fixed_steps:
+        cfg0 = cfg0.replace(max_steps=args.fixed_steps, conv_tol=-1.0)
     out = dict(backend=jax.default_backend(), n=n, l=l, k=k,
                batch=cfg0.batch_size, seed=args.seed,
                max_steps=args.max_steps)

@@ -496,8 +496,18 @@ def _build_step_parts(cfg: SVIConfig, plan: ShardPlan, mesh: Mesh):
     def _psum_gamma(gstat):
         """Reduce the per-shard gamma statistic over 'snp' in
         cfg.gamma_psum_dtype (quality A/B for bf16:
-        benchmarks/results/gamma_bf16_ab.json)."""
+        benchmarks/results/gamma_bf16_ab.json).
+
+        reduce_precision BEFORE the cast: a backend is free to promote
+        the collective back to f32 and elide the convert pair (the
+        emulated CPU mesh does — BFloat16Normalization; XLA's
+        excess-precision simplifier can do the same to bare converts),
+        but reduce_precision is contractually exact bf16 RN rounding,
+        so the partials are rounded on every backend. On TPU the bf16
+        cast then rides the ring natively at half payload."""
         if cfg.gamma_psum_dtype == "bf16":
+            gstat = jax.lax.reduce_precision(gstat, exponent_bits=8,
+                                             mantissa_bits=7)
             gstat = jax.lax.psum(gstat.astype(jnp.bfloat16),
                                  axis_name=SNP_AXIS)
             return gstat.astype(jnp.float32)

@@ -285,8 +285,14 @@ def _global_update(cfg: SVIConfig, gamma, gamma_stat, t, l_sample):
         # (parallel/sharded.py psum_gamma): the statistic crosses the
         # reduction boundary at bf16 precision, so one-chip and
         # multi-chip fits share semantics (not bitwise — the ring also
-        # accumulates in bf16). Quality A/B: results/gamma_bf16_ab.json.
-        gamma_stat = gamma_stat.astype(jnp.bfloat16).astype(jnp.float32)
+        # accumulates in bf16). reduce_precision, NOT an astype
+        # round-trip: XLA's excess-precision simplifier ELIDES
+        # f32->bf16->f32 convert pairs on TPU (measured: bit-identical
+        # trajectories), while reduce_precision is contractually exact
+        # bf16 RN rounding. Quality A/B: results/gamma_bf16_ab.json.
+        gamma_stat = jax.lax.reduce_precision(gamma_stat,
+                                              exponent_bits=8,
+                                              mantissa_bits=7)
     gamma_target = cfg.alpha_value + scale * gamma_stat
     return (1.0 - rho) * gamma + rho * gamma_target
 
