@@ -171,3 +171,33 @@ def test_kernel_resolution_and_fallback(rng):
     cfg2 = SVIConfig(n=33, l=64, k=2, batch_size=8, seed=11, kernel="fused")
     s = engine.make_step(cfg2)(engine.init_state(cfg2), jnp.asarray(data.packed))
     assert np.isfinite(np.asarray(s.gamma)).all()
+
+
+def test_gamma_bf16_rounding_is_elision_proof(rng):
+    """Regression for a silent no-op: the engine's bf16 gamma rounding
+    was first written as astype(bf16).astype(f32), which XLA's
+    excess-precision simplifier ELIDES on TPU (the hardware A/B came
+    back bit-identical). The rounding must be a reduce_precision op —
+    contractually exact bf16 RN that no backend may drop. Pin both the
+    compiled HLO (the op survives optimization) and the numerics (the
+    trajectory actually diverges from f32 while staying close)."""
+    n, l, k = 64, 256, 3
+    _, _, x = simulate_psd(n, l, k, seed=7)
+    data = GenotypeData.from_dense(x, validation_frac=0, heldout_frac=0,
+                                   seed=7)
+    packed = jnp.asarray(data.packed)
+    gammas = {}
+    for dt in ("f32", "bf16"):
+        cfg = SVIConfig(n=n, l=l, k=k, batch_size=16, seed=7,
+                        gamma_psum_dtype=dt)
+        state = engine.init_state(cfg)
+        run = engine.make_run_chunk(cfg, 40, int(packed.shape[0]))
+        if dt == "bf16":
+            hlo = jax.jit(run).lower(state, packed).compile().as_text()
+            assert "reduce-precision(" in hlo, (
+                "bf16 gamma rounding missing from the optimized HLO")
+        gammas[dt] = np.asarray(run(state, packed).gamma)
+    diff = np.abs(gammas["bf16"] - gammas["f32"])
+    rel = diff / np.abs(gammas["f32"])
+    assert diff.max() > 0, "bf16 rounding was elided (trajectories equal)"
+    assert rel.max() < 0.05, f"bf16 rounding too large: {rel.max()}"
