@@ -259,3 +259,20 @@ def _parse_cli(argv):
     with mock.patch.object(c, "cmd_fit", lambda args: captured.update(a=args)):
         c.main(argv)
     return captured["a"]
+
+
+def test_gamma_psum_dtype_flag_wiring():
+    """--gamma-psum-dtype reaches SVIConfig (and defaults to exact f32)."""
+    import argparse
+
+    from terastructure_tpu import cli
+
+    p = argparse.ArgumentParser()
+    cli._add_model_args(p)
+    cli._add_svi_args(p)
+    args = p.parse_args(["-k", "3"])
+    cfg = cli._cfg_from_args(args, n=64, l=128)
+    assert cfg.gamma_psum_dtype == "f32"
+    args = p.parse_args(["-k", "3", "--gamma-psum-dtype", "bf16"])
+    cfg = cli._cfg_from_args(args, n=64, l=128)
+    assert cfg.gamma_psum_dtype == "bf16"
