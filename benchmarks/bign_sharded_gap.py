@@ -111,8 +111,17 @@ def main():
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "results", "bign_sharded_gap.json")
     if jax.default_backend() == "tpu":
+        # merge under a timestamped key — never clobber prior rounds'
+        # records (a round-5 re-run once flattened the r4 history)
+        doc = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                doc = json.load(f)
+            if "engine" in doc:          # legacy flat layout
+                doc = {"legacy": doc}
+        doc[f"run_{int(time.time())}"] = out
         with open(path, "w") as f:
-            json.dump(out, f, indent=1)
+            json.dump(doc, f, indent=1)
     print(json.dumps(out, indent=1))
 
 
